@@ -1,0 +1,143 @@
+"""upfirdn2d: pad -> upsample -> FIR filter -> downsample, NHWC.
+
+Capability parity with reference src/utils/style_ops/upfirdn2d.py
+(CUDA kernel upfirdn2d.cu; python ref at upfirdn2d.py:166).  TPU-native
+formulation: one depthwise ``lax.conv_general_dilated`` expresses the
+whole op — ``lhs_dilation`` is the zero-insertion upsample,
+``window_strides`` is the downsample, and the pad spec absorbs both the
+user padding and the dilation fix-up, so XLA lowers it to a single
+convolution that tiles onto the MXU/VPU.  Separable (1-D) filters run as
+two rank-1 depthwise convs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _parse_scaling(scaling) -> tuple[int, int]:
+    if isinstance(scaling, int):
+        scaling = [scaling, scaling]
+    sx, sy = scaling
+    assert sx >= 1 and sy >= 1
+    return int(sx), int(sy)
+
+
+def _parse_padding(padding) -> tuple[int, int, int, int]:
+    if isinstance(padding, int):
+        padding = [padding, padding]
+    padding = list(padding)
+    if len(padding) == 2:
+        px, py = padding
+        padding = [px, px, py, py]
+    px0, px1, py0, py1 = padding
+    return int(px0), int(px1), int(py0), int(py1)
+
+
+def setup_filter(f, normalize: bool = True, flip_filter: bool = False,
+                 gain: float = 1.0, separable: bool | None = None) -> np.ndarray:
+    """Prepare a FIR filter (reference upfirdn2d.py:70-115)."""
+    if f is None:
+        f = 1.0
+    f = np.asarray(f, dtype=np.float64)
+    assert f.ndim in (0, 1, 2)
+    if f.ndim == 0:
+        f = f[np.newaxis]
+    if separable is None:
+        separable = f.ndim == 1 and f.size >= 8
+    if f.ndim == 1 and not separable:
+        f = np.outer(f, f)
+    assert f.ndim == (1 if separable else 2)
+    if normalize:
+        f = f / f.sum()
+    if flip_filter:
+        f = np.flip(f, axis=tuple(range(f.ndim)))
+    f = f * (gain ** (f.ndim / 2))
+    return f.astype(np.float32)
+
+
+def _depthwise(x: Array, f: Array, up: tuple[int, int], down: tuple[int, int],
+               pad: tuple[int, int, int, int]) -> Array:
+    """Depthwise conv, NHWC, filter (kh, kw) broadcast over channels."""
+    c = x.shape[-1]
+    upx, upy = up
+    px0, px1, py0, py1 = pad
+    kernel = jnp.tile(f[:, :, None, None].astype(x.dtype), (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=down[::-1],                       # (down_y, down_x)
+        padding=((py0, py1 + upy - 1), (px0, px1 + upx - 1)),
+        lhs_dilation=(upy, upx),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def upfirdn2d(x: Array, f: Array | np.ndarray | None, up=1, down=1, padding=0,
+              flip_filter: bool = False, gain: float = 1.0) -> Array:
+    """NHWC upfirdn2d (reference upfirdn2d.py:118-213).
+
+    f: (kh, kw) filter, (taps,) separable filter, or None (identity).
+    """
+    if f is None:
+        f = np.ones((1, 1), dtype=np.float32)
+    f = jnp.asarray(f, dtype=jnp.float32)
+    assert f.ndim in (1, 2)
+    upx, upy = _parse_scaling(up)
+    downx, downy = _parse_scaling(down)
+    pad = _parse_padding(padding)
+
+    if not flip_filter:  # convolution: flip; lax conv is cross-correlation
+        f = jnp.flip(f, axis=tuple(range(f.ndim)))
+
+    if f.ndim == 1:
+        g = float(gain) ** 0.5
+        # vertical pass (handles up_y/down_y and y padding)
+        x = _depthwise(x, (f * g)[:, None], (1, upy), (1, downy),
+                       (0, 0, pad[2], pad[3]))
+        # horizontal pass
+        x = _depthwise(x, (f * g)[None, :], (upx, 1), (downx, 1),
+                       (pad[0], pad[1], 0, 0))
+        return x
+    return _depthwise(x, f * float(gain), (upx, upy), (downx, downy), pad)
+
+
+def filter2d(x: Array, f, padding=0, flip_filter=False, gain=1.0) -> Array:
+    """Filter with centered padding (reference upfirdn2d.py:276-309)."""
+    fh, fw = _filter_size(f)
+    px0, px1, py0, py1 = _parse_padding(padding)
+    p = (px0 + fw // 2, px1 + (fw - 1) // 2, py0 + fh // 2, py1 + (fh - 1) // 2)
+    return upfirdn2d(x, f, padding=p, flip_filter=flip_filter, gain=gain)
+
+
+def upsample2d(x: Array, f, up=2, padding=0, flip_filter=False, gain=1.0) -> Array:
+    """Upsample with centered FIR (reference upfirdn2d.py:312-348)."""
+    upx, upy = _parse_scaling(up)
+    fh, fw = _filter_size(f)
+    px0, px1, py0, py1 = _parse_padding(padding)
+    p = (px0 + (fw + upx - 1) // 2, px1 + (fw - upx) // 2,
+         py0 + (fh + upy - 1) // 2, py1 + (fh - upy) // 2)
+    return upfirdn2d(x, f, up=up, padding=p, flip_filter=flip_filter,
+                     gain=gain * upx * upy)
+
+
+def downsample2d(x: Array, f, down=2, padding=0, flip_filter=False, gain=1.0) -> Array:
+    """Downsample with centered FIR (reference upfirdn2d.py:351-388)."""
+    downx, downy = _parse_scaling(down)
+    fh, fw = _filter_size(f)
+    px0, px1, py0, py1 = _parse_padding(padding)
+    p = (px0 + (fw - downx + 1) // 2, px1 + (fw - downx) // 2,
+         py0 + (fh - downy + 1) // 2, py1 + (fh - downy) // 2)
+    return upfirdn2d(x, f, down=down, padding=p, flip_filter=flip_filter, gain=gain)
+
+
+def _filter_size(f) -> tuple[int, int]:
+    if f is None:
+        return 1, 1
+    f = np.asarray(f)
+    return (f.shape[0], f.shape[-1]) if f.ndim >= 1 else (1, 1)
