@@ -1,0 +1,65 @@
+"""Benchmark: BigGAN CIFAR10-32 training throughput on one TPU chip.
+
+Baseline (BASELINE.md): the reference trains BigGAN CIFAR10 bs64 at
+~2.17 steps/s on 1 GPU, where one step = 5 D updates + 1 G update
+(logs/CIFAR10/BigGAN-train-2021_01_15_14_48_48.log: 100k steps in
+12h48m).  We measure the identical workload — full train step (5 D + 1 G,
+bs64, g/d_conv_dim=96, SN + cBN + self-attention + hinge + EMA) — and
+report steps/s.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 2.17
+
+
+def main():
+    from __graft_entry__ import _biggan_cfg
+    from studiogan_tpu.models import build_discriminator, build_generator
+    from studiogan_tpu.train import TrainEngine
+
+    cfg = _biggan_cfg()  # real BigGAN-CIFAR10 scale, bs64, 5 D updates
+    O = cfg.OPTIMIZATION
+    G, D = build_generator(cfg), build_discriminator(cfg)
+    eng = TrainEngine(cfg, G, D)
+    state = eng.init_state(jax.random.PRNGKey(0))
+
+    n_micro = O.d_updates_per_step * O.acml_steps
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (n_micro, O.batch_size, 32, 32, 3)),
+                       jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 10, (n_micro, O.batch_size)), jnp.int32)
+
+    step = jax.jit(eng.train_step, donate_argnums=0)
+
+    # warmup / compile
+    state, m = step(state, imgs, labels)
+    jax.block_until_ready(m)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step(state, imgs, labels)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+    print(json.dumps({
+        "metric": "biggan_cifar10_train_steps_per_sec",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s (1 step = 5 D + 1 G updates, bs64)",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Input pipeline: basket batching + per-host sharding + prefetch.
+
+Replaces the reference's DataLoader + DistributedSampler + "basket"
+(reference src/loader.py:161-206: basket_size = batch x acml x
+d_updates fetched per step, worker.py:194-208 splits it).
+
+TPU-native design: the host pipeline assembles whole baskets of shape
+(d_updates*acml, local_batch, H, W, C) as pinned numpy, a background
+thread keeps ``prefetch`` baskets ahead, and the train loop feeds them
+straight to the jitted SPMD step.  DistributedSampler semantics (epoch-
+seeded shuffle, per-process shard, drop_last) are reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class BasketLoader:
+    def __init__(self, dataset, batch_size: int, basket_multiplier: int,
+                 random_flip: bool = True, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size            # per-process batch
+        self.basket_multiplier = basket_multiplier  # d_updates * acml
+        self.random_flip = random_flip
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+        self._order = None
+        self._cursor = 0
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._thread = None
+        self._stop = threading.Event()
+
+    # -- DistributedSampler semantics (reference loader.py:161-176) -------
+
+    def _reshuffle(self):
+        rng = np.random.RandomState(self.seed + self.epoch)
+        order = rng.permutation(len(self.ds))
+        # per-process contiguous shard, drop_last at basket granularity
+        shard = order[self.process_index::self.process_count]
+        self._order = shard
+        self._cursor = 0
+
+    def _next_indices(self, n: int) -> np.ndarray:
+        if self._order is None:
+            self._reshuffle()
+        out = []
+        while n > 0:
+            remaining = len(self._order) - self._cursor
+            if remaining == 0:
+                self.epoch += 1
+                self._reshuffle()
+                remaining = len(self._order)
+            take = min(n, remaining)
+            out.append(self._order[self._cursor:self._cursor + take])
+            self._cursor += take
+            n -= take
+        return np.concatenate(out)
+
+    # -- basket assembly ----------------------------------------------------
+
+    def _make_basket(self):
+        n = self.batch_size * self.basket_multiplier
+        idx = self._next_indices(n)
+        imgs = np.empty((n, *self.ds[0][0].shape), dtype=np.uint8)
+        labels = np.empty((n,), dtype=np.int32)
+        for i, j in enumerate(idx):
+            img, lab = self.ds[int(j)]
+            imgs[i] = img
+            labels[i] = lab
+        x = imgs.astype(np.float32) / 127.5 - 1.0  # [-1,1] (data_util.py:92-94)
+        if self.random_flip:
+            rng = np.random.RandomState((self.seed, self.epoch, self._cursor) .__hash__() & 0x7FFFFFFF)
+            flip = rng.rand(n) < 0.5
+            x[flip] = x[flip, :, ::-1]
+        x = x.reshape(self.basket_multiplier, self.batch_size, *x.shape[1:])
+        labels = labels.reshape(self.basket_multiplier, self.batch_size)
+        return x, labels
+
+    # -- prefetching iterator -------------------------------------------------
+
+    def _worker(self):
+        while not self._stop.is_set():
+            basket = self._make_basket()
+            while not self._stop.is_set():
+                try:
+                    self._q.put(basket, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()

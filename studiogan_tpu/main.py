@@ -1,0 +1,247 @@
+"""CLI entry point (parity with reference src/main.py + the run loop of
+src/loader.py:386-512).
+
+    python -m studiogan_tpu.main -t -metrics fid is \
+        -cfg src/configs/CIFAR10/BigGAN.yaml -data ./data -save ./out
+
+One process per host; the SPMD step spans all devices (no mp.spawn —
+reference main.py:175-196 collapses into setup_runtime()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from argparse import ArgumentParser
+from time import time
+
+import jax
+import numpy as np
+
+from studiogan_tpu.config import Configurations
+from studiogan_tpu.utils import log as log_util, misc
+
+
+def build_parser() -> ArgumentParser:
+    p = ArgumentParser(description="StudioGAN-TPU")
+    p.add_argument("--entity", type=str, default=None)
+    p.add_argument("--project", type=str, default=None)
+    p.add_argument("-cfg", "--cfg_file", type=str,
+                   default="./configs/CIFAR10/BigGAN.yaml")
+    p.add_argument("-data", "--data_dir", type=str, default=None)
+    p.add_argument("-save", "--save_dir", type=str, default="./")
+    p.add_argument("-ckpt", "--ckpt_dir", type=str, default=None)
+    p.add_argument("-best", "--load_best", action="store_true")
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("-DDP", "--distributed_data_parallel", action="store_true")
+    p.add_argument("--backend", type=str, default="xla")
+    p.add_argument("-tn", "--total_nodes", default=1, type=int)
+    p.add_argument("-cn", "--current_node", default=0, type=int)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("-sync_bn", "--synchronized_bn", action="store_true")
+    p.add_argument("-mpc", "--mixed_precision", action="store_true")
+    p.add_argument("--truncation_factor", type=float, default=-1.0)
+    p.add_argument("--truncation_cutoff", type=float, default=None)
+    p.add_argument("-batch_stat", "--batch_statistics", action="store_true")
+    p.add_argument("-std_stat", "--standing_statistics", action="store_true")
+    p.add_argument("-std_max", "--standing_max_batch", type=int, default=-1)
+    p.add_argument("-std_step", "--standing_step", type=int, default=-1)
+    p.add_argument("--freezeD", type=int, default=-1)
+    p.add_argument("-lgv", "--langevin_sampling", action="store_true")
+    p.add_argument("-lgv_rate", "--langevin_rate", type=float, default=-1)
+    p.add_argument("-lgv_std", "--langevin_noise_std", type=float, default=-1)
+    p.add_argument("-lgv_decay", "--langevin_decay", type=float, default=-1)
+    p.add_argument("-lgv_decay_steps", "--langevin_decay_steps", type=int, default=-1)
+    p.add_argument("-lgv_steps", "--langevin_steps", type=int, default=-1)
+    p.add_argument("-t", "--train", action="store_true")
+    p.add_argument("-hdf5", "--load_train_hdf5", action="store_true")
+    p.add_argument("-l", "--load_data_in_memory", action="store_true")
+    p.add_argument("-metrics", "--eval_metrics", nargs="+", default=["fid"])
+    p.add_argument("--pre_resizer", type=str, default="wo_resize")
+    p.add_argument("--post_resizer", type=str, default="legacy")
+    p.add_argument("--num_eval", type=int, default=1)
+    p.add_argument("-sr", "--save_real_images", action="store_true")
+    p.add_argument("-sf", "--save_fake_images", action="store_true")
+    p.add_argument("-sf_num", "--save_fake_images_num", type=int, default=1)
+    p.add_argument("-v", "--vis_fake_images", action="store_true")
+    p.add_argument("-knn", "--k_nearest_neighbor", action="store_true")
+    p.add_argument("-itp", "--interpolation", action="store_true")
+    p.add_argument("-fa", "--frequency_analysis", action="store_true")
+    p.add_argument("-tsne", "--tsne_analysis", action="store_true")
+    p.add_argument("-ifid", "--intra_class_fid", action="store_true")
+    p.add_argument("--GAN_train", action="store_true")
+    p.add_argument("--GAN_test", action="store_true")
+    p.add_argument("-resume_ct", "--resume_classifier_train", action="store_true")
+    p.add_argument("-sefa", "--semantic_factorization", action="store_true")
+    p.add_argument("-sefa_axis", "--num_semantic_axis", type=int, default=-1)
+    p.add_argument("-sefa_max", "--maximum_variations", type=float, default=-1)
+    p.add_argument("-empty_cache", "--empty_cache", action="store_true")
+    p.add_argument("--print_freq", type=int, default=100)
+    p.add_argument("--save_freq", type=int, default=2000)
+    p.add_argument("--eval_backbone", type=str, default="InceptionV3_tf")
+    p.add_argument("-ref", "--ref_dataset", type=str, default="train")
+    p.add_argument("--calc_is_ref_dataset", action="store_true")
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="use a synthetic dataset (tests/benchmarks)")
+    return p
+
+
+def load_configs(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = Configurations(args.cfg_file)
+    cfg.update_cfgs(vars(args), super="RUN")
+    return cfg, args
+
+
+def run(argv=None):
+    cfg, args = load_configs(argv)
+
+    from studiogan_tpu.parallel import setup_runtime
+    from studiogan_tpu.parallel.mesh import put_basket
+    rt = setup_runtime(cfg.RUN.total_nodes, cfg.RUN.current_node)
+    cfg.finalize(world_size=rt.num_devices)
+    cfg.check_compatability()
+
+    seed = misc.fix_seed(cfg.RUN.seed)
+    cfg.RUN.seed = seed
+    run_name = log_util.make_run_name(
+        "StudioGAN-TPU" if not cfg.cfg_file else
+        os.path.splitext(os.path.basename(cfg.cfg_file))[0],
+        cfg.DATA.name)
+    misc.prepare_folder(cfg.MISC.base_folders, cfg.RUN.save_dir)
+    logger = log_util.make_logger(cfg.RUN.save_dir, run_name)
+    stats = log_util.StatsWriter(cfg.RUN.save_dir, run_name)
+    logger.info("Run name : %s", run_name)
+    logger.info("Devices  : %d x %s", rt.num_devices, jax.devices()[0].platform)
+
+    # ---- data -------------------------------------------------------------
+    from studiogan_tpu.data import BasketLoader, Dataset_
+    O = cfg.OPTIMIZATION
+    hdf5_path = None
+    ds_kwargs = dict(
+        data_name="SYNTHETIC" if args.synthetic_data else cfg.DATA.name,
+        data_dir=cfg.RUN.data_dir, train=True,
+        crop_long_edge=cfg.DATA.name not in cfg.MISC.no_proc_data,
+        resize_size=cfg.DATA.img_size, resizer=cfg.RUN.pre_resizer,
+        num_classes=cfg.DATA.num_classes, img_size=cfg.DATA.img_size,
+    )
+    train_ds = Dataset_(**ds_kwargs)
+    if cfg.RUN.load_train_hdf5:
+        from studiogan_tpu.data.hdf5 import make_hdf5
+        hdf5_path = make_hdf5(train_ds, cfg.DATA.name, cfg.DATA.img_size,
+                              cfg.RUN.pre_resizer,
+                              os.path.join(cfg.RUN.save_dir, "hdf5"))
+        train_ds = Dataset_(**{**ds_kwargs, "hdf5_path": hdf5_path,
+                               "load_data_in_memory": cfg.RUN.load_data_in_memory})
+    loader = BasketLoader(
+        train_ds, batch_size=rt.local_batch(O.batch_size),
+        basket_multiplier=O.d_updates_per_step * O.acml_steps,
+        random_flip=cfg.PRE.apply_rflip, seed=seed,
+        process_index=rt.process_index, process_count=rt.process_count)
+
+    # ---- models + engine ----------------------------------------------------
+    from studiogan_tpu.models import build_discriminator, build_generator
+    from studiogan_tpu.train import TrainEngine
+    from studiogan_tpu.train import ckpt as ckpt_util
+
+    G, D = build_generator(cfg), build_discriminator(cfg)
+    eng = TrainEngine(cfg, G, D)
+    state = eng.init_state(jax.random.PRNGKey(seed))
+    n_gparams = sum(p.size for p in jax.tree.leaves(state.g_params))
+    n_dparams = sum(p.size for p in jax.tree.leaves(state.d_params))
+    logger.info("G params: %.2fM  D params: %.2fM",
+                n_gparams / 1e6, n_dparams / 1e6)
+
+    ckpt_dir = os.path.join(cfg.RUN.save_dir, "checkpoints", run_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    best_fid, best_step = None, 0
+    if cfg.RUN.ckpt_dir:
+        path = ckpt_util.find_ckpt(cfg.RUN.ckpt_dir, cfg.RUN.load_best)
+        if path:
+            state, meta = ckpt_util.load_ckpt(path, state)
+            best_fid = meta.get("best_fid")
+            best_step = meta.get("best_step", 0)
+            logger.info("Resumed from %s at step %d", path, int(state.step))
+
+    state = jax.device_put(state, rt.replicated)
+    step_fn = jax.jit(eng.train_step, donate_argnums=0,
+                      in_shardings=(rt.replicated, rt.basket, rt.basket),
+                      out_shardings=(rt.replicated, rt.replicated))
+
+    evaluator = None
+    if cfg.RUN.eval_metrics and "none" not in cfg.RUN.eval_metrics:
+        try:
+            from studiogan_tpu.metrics import Evaluator
+            evaluator = Evaluator(cfg, rt, eval_dataset_kwargs=ds_kwargs)
+        except Exception as e:  # pretrained backbone weights unavailable
+            logger.warning("Evaluation disabled: %s", e)
+
+    # ---- train loop (reference loader.py:386-432) ---------------------------
+    if cfg.RUN.train:
+        logger.info("Start training (total_steps=%d)", O.total_steps)
+        start = time()
+        it = iter(loader)
+        metrics = {}
+        step0 = int(state.step)
+        for _ in range(step0, O.total_steps):
+            imgs, labels = next(it)
+            gi, gl = put_basket(rt, imgs, labels)
+            state, metrics = step_fn(state, gi, gl)
+            cur = int(state.step)
+            if cur % cfg.RUN.print_freq == 0:
+                m = jax.device_get(metrics)
+                logger.info(log_util.PROGRESS_FORMAT.format(
+                    step=cur, progress=cur / O.total_steps,
+                    elapsed=misc.elapsed_time(start),
+                    gen_loss=float(m["g_loss"]), dis_loss=float(m["d_loss"])))
+                stats.write(cur, **{k: v for k, v in m.items()})
+            if cur % cfg.RUN.save_freq == 0:
+                if cfg.RUN.vis_fake_images or True:
+                    fakes, flabels = eng.generate(
+                        state, jax.random.PRNGKey(cur), min(64, O.batch_size))
+                    misc.save_image_grid(
+                        np.asarray(jax.device_get(fakes)),
+                        os.path.join(cfg.RUN.save_dir, "figures", run_name,
+                                     f"generated_canvas_{cur}.png"))
+                if evaluator is not None:
+                    scores = evaluator.evaluate(eng, state, cfg.RUN.eval_metrics)
+                    logger.info("Eval @%d: %s", cur, json.dumps(scores))
+                    stats.write(cur, **scores)
+                    if "fid" in scores and (best_fid is None or scores["fid"] < best_fid):
+                        best_fid, best_step = scores["fid"], cur
+                        ckpt_util.save_ckpt(ckpt_dir, state, dict(
+                            seed=seed, run_name=run_name, best_fid=best_fid,
+                            best_step=best_step), when="best")
+                ckpt_util.save_ckpt(ckpt_dir, state, dict(
+                    seed=seed, run_name=run_name, best_fid=best_fid,
+                    best_step=best_step), when="current")
+        logger.info("Training done: %s", misc.elapsed_time(start))
+        ckpt_util.save_ckpt(ckpt_dir, state, dict(
+            seed=seed, run_name=run_name, best_fid=best_fid,
+            best_step=best_step), when="current")
+        loader.close()
+
+    # ---- post-training actions (reference loader.py:437-512) ---------------
+    if cfg.RUN.save_fake_images:
+        fakes, flabels = eng.generate(state, jax.random.PRNGKey(0),
+                                      min(64, O.batch_size))
+        misc.save_images_png(np.asarray(jax.device_get(fakes)),
+                             np.asarray(jax.device_get(flabels)),
+                             os.path.join(cfg.RUN.save_dir, "samples", run_name))
+    if cfg.RUN.vis_fake_images:
+        fakes, _ = eng.generate(state, jax.random.PRNGKey(0),
+                                min(64, O.batch_size))
+        misc.save_image_grid(np.asarray(jax.device_get(fakes)),
+                             os.path.join(cfg.RUN.save_dir, "figures", run_name,
+                                          "generated_canvas.png"))
+    if evaluator is not None and not cfg.RUN.train and \
+            "none" not in cfg.RUN.eval_metrics:
+        for _ in range(cfg.RUN.num_eval):
+            scores = evaluator.evaluate(eng, state, cfg.RUN.eval_metrics)
+            logger.info("Eval: %s", json.dumps(scores))
+    return state
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,602 @@
+"""The SPMD training engine.
+
+Replaces the reference's WORKER.train_discriminator /
+train_generator hot loops (reference src/worker.py:213-681) with ONE
+jitted train step:
+
+  * the ``d_updates_per_step x acml_steps`` basket loop becomes
+    ``lax.scan`` over D updates with an inner gradient-accumulation scan
+    — no host round-trips between micro-batches;
+  * toggle_grad semantics fall out of functional AD: each loss is
+    differentiated only w.r.t. its own params;
+  * DDP's implicit gradient allreduce, the 2C/D2DCE cross-replica
+    gathers, LeCam's gather, sync-BN, and the ADA heuristic's
+    all_reduce all come for free from GSPMD when the batch axis is
+    sharded over the mesh;
+  * everything the reference mutates in place (BN stats, SN u/v,
+    LeCam EMAs, ADA p, top-k, EMA weights) flows through
+    ``GANTrainState``.
+
+Step-dependent scalars (ADA p adjustment, top-k decay, LeCam gating,
+lazy-reg intervals) stay traced — ``jnp.where``/``lax.cond`` — so one
+compiled program serves the whole run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from studiogan_tpu import losses as L
+from studiogan_tpu.aug import build_augments
+from studiogan_tpu.aug.apa_aug import apply_apa_aug
+from studiogan_tpu.train import optim, sample as S
+from studiogan_tpu.train.ema import ema_update, stylegan_decay, vanilla_decay
+from studiogan_tpu.train.state import GANTrainState, init_lecam
+
+Array = jax.Array
+NA = "N/A"
+
+
+def _tree_zeros_like(t):
+    return jax.tree.map(jnp.zeros_like, t)
+
+
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def _tree_scale(t, s):
+    return jax.tree.map(lambda x: x * s, t)
+
+
+class TrainEngine:
+    """Builds pure, jittable train/eval steps from a config + modules."""
+
+    def __init__(self, cfg, G, D):
+        self.cfg = cfg
+        self.G, self.D = G, D
+        M, Ls, O, A = cfg.MODEL, cfg.LOSS, cfg.OPTIMIZATION, cfg.AUG
+        self.M, self.Ls, self.O, self.A = M, Ls, O, A
+        self.is_stylegan = M.backbone in ("stylegan2", "stylegan3")
+        self.classifier_based = M.d_cond_mtd in cfg.MISC.classifier_based_GAN
+        self.is_infogan = M.info_type in ("discrete", "continuous", "both")
+        self.mh = Ls.adv_loss == "MH"
+        if not self.mh:
+            self.d_adv = L.D_LOSSES[Ls.adv_loss]
+            self.g_adv = L.G_LOSSES[Ls.adv_loss]
+        self.series_augment, self.parallel_augment = build_augments(cfg)
+        self.has_series_aug = A.apply_diffaug or A.apply_ada
+        self.g_tx = optim.build_g_optimizer(cfg)
+        self.d_tx = optim.build_d_optimizer(cfg)
+        self.info_tx = optim.build_info_optimizer(cfg) if self.is_infogan else None
+        # ADA/APA controller constants (reference worker.__init__:127-135)
+        self.aa_target = A.ada_target if A.apply_ada else A.apa_target
+        self.aa_kimg = A.ada_kimg if A.apply_ada else A.apa_kimg
+        self.aa_interval = A.ada_interval if A.apply_ada else A.apa_interval
+        self.effective_batch_size = O.batch_size * O.acml_steps
+
+    # -- module application helpers ---------------------------------------
+
+    def _g_apply(self, params, gstate, z, y, train=True, mutable=()):
+        out = self.G.apply({"params": params, **gstate}, z, y, train=train,
+                           mutable=list(mutable) if mutable else False)
+        if mutable:
+            img, new = out
+            return img, {**gstate, **new}
+        return out, gstate
+
+    def _d_apply(self, params, dstate, x, y, train=True, adc_fake=False,
+                 mutable=()):
+        out = self.D.apply({"params": params, **dstate}, x, y, train=train,
+                           adc_fake=adc_fake,
+                           mutable=list(mutable) if mutable else False)
+        if mutable:
+            d, new = out
+            return d, {**dstate, **new}
+        return out, dstate
+
+    # -- fake image sampling (reference sample.generate_images) -----------
+
+    def _sample_fakes(self, g_params, g_state, d_params, d_state, rng,
+                      batch_size, update_g_state: bool):
+        M, Ls = self.M, self.Ls
+        k1, k2, k3 = jax.random.split(rng, 3)
+        zs, labels, zs_eps = S.sample_zy(
+            k1, M.z_prior, batch_size, M.z_dim, self.cfg.DATA.num_classes,
+            -1.0, "totally_random", Ls.radius if Ls.apply_zcr else NA)
+        info_discrete_c = info_conti_c = None
+        if self.is_infogan:
+            z_extra, info_discrete_c, info_conti_c = S.sample_info_codes(
+                k2, M, batch_size)
+            zs = jnp.concatenate([zs] + z_extra, axis=1)
+
+        trsp_cost = None
+        if Ls.apply_lo:
+            def g_d_adv(z, y):
+                img, _ = self._g_apply(g_params, g_state, z, y)
+                out, _ = self._d_apply(d_params, d_state, img, y)
+                return out["adv_output"]
+            zs = L.latent_optimise(zs, labels, g_d_adv, k3, Ls.lo_rate,
+                                   Ls.lo_steps4train, Ls.lo_alpha, Ls.lo_beta)
+            trsp_cost = jnp.asarray(0.0)  # transport cost folded into latents
+
+        mutable = self._g_mutable(g_state, update_g_state)
+        fakes, new_g_state = self._g_apply(g_params, g_state, zs, labels,
+                                           mutable=mutable)
+        fakes_eps = None
+        if zs_eps is not None:
+            fakes_eps, _ = self._g_apply(g_params, new_g_state, zs_eps, labels)
+        return dict(images=fakes, labels=labels, images_eps=fakes_eps,
+                    trsp_cost=trsp_cost, info_discrete_c=info_discrete_c,
+                    info_conti_c=info_conti_c, g_state=new_g_state)
+
+    @staticmethod
+    def _g_mutable(g_state, update_all: bool):
+        if update_all:
+            return tuple(g_state.keys())
+        # D-step G forward: BN running stats frozen, SN u/v still advance
+        # (torch SN hooks fire regardless of requires_grad;
+        # reference worker.py:226 untracks BN only)
+        return ("sn",) if "sn" in g_state else ()
+
+    # -- conditioning losses (reference worker.__init__:141-157) ----------
+
+    def _cond_loss(self, out):
+        mtd, Ls = self.M.d_cond_mtd, self.Ls
+        if mtd == "AC":
+            return L.cross_entropy_loss(out["cls_output"], out["label"])
+        if mtd == "2C":
+            return L.conditional_contrastive_loss(
+                out["embed"], out["proxy"], out["label"], Ls.temperature)
+        if mtd == "D2DCE":
+            return L.data2data_ce_loss(
+                out["embed"], out["proxy"], out["label"], Ls.temperature, Ls.m_p)
+        raise NotImplementedError(mtd)
+
+    def _cond_loss_mi(self, out):
+        mtd, Ls = self.M.d_cond_mtd, self.Ls
+        if mtd == "AC":
+            return L.cross_entropy_loss(out["mi_cls_output"], out["label"])
+        return (L.conditional_contrastive_loss if mtd == "2C"
+                else functools.partial(L.data2data_ce_loss, m_p=Ls.m_p))(
+            out["mi_embed"], out["mi_proxy"], out["label"],
+            temperature=Ls.temperature)
+
+    @staticmethod
+    def _l2(a, b):
+        return jnp.mean((a - b) ** 2)
+
+    def _consistency_terms(self, a_dict, b_dict):
+        """adv (+cls/embed) L2 match for CR/bCR/zCR (worker.py:326-366)."""
+        loss = self._l2(a_dict["adv_output"], b_dict["adv_output"])
+        if self.M.d_cond_mtd == "AC":
+            loss += self._l2(a_dict["cls_output"], b_dict["cls_output"])
+        elif self.M.d_cond_mtd in ("2C", "D2DCE"):
+            loss += self._l2(a_dict["embed"], b_dict["embed"])
+        return loss
+
+    # -- D loss (reference worker.train_discriminator:230-436) ------------
+
+    def _d_loss_fn(self, d_params, d_state, real_images, real_labels, fakes,
+                   rng, step, ada_p, lecam):
+        Ls, M = self.Ls, self.M
+        k_apa, k_aug_r, k_aug_f, k_prl_r, k_prl_f, k_gp = jax.random.split(rng, 6)
+        fake_images, fake_labels = fakes["images"], fakes["labels"]
+        fake_images = jax.lax.stop_gradient(fake_images)
+
+        if self.A.apply_apa:
+            real_images = apply_apa_aug(k_apa, real_images, fake_images, ada_p)
+
+        def series(key, x):
+            return self.series_augment(key, x, ada_p) if self.has_series_aug else x
+
+        real_aug = series(k_aug_r, real_images)
+        fake_aug = series(k_aug_f, fake_images)
+
+        mut = tuple(d_state.keys())
+        real_dict, d_state1 = self._d_apply(d_params, d_state, real_aug,
+                                            real_labels, mutable=mut)
+        fake_dict, d_state2 = self._d_apply(d_params, d_state1, fake_aug,
+                                            fake_labels, adc_fake=True, mutable=mut)
+
+        if self.mh:
+            loss = L.crammer_singer_loss(real_dict["adv_output"], real_labels)
+            lossy = L.mh_fake_label(self.cfg.DATA.num_classes,
+                                    fake_labels.shape[0])
+            loss += L.crammer_singer_loss(fake_dict["adv_output"], lossy)
+        else:
+            loss = self.d_adv(real_dict["adv_output"], fake_dict["adv_output"])
+
+        real_cond_loss = jnp.asarray(0.0)
+        if self.classifier_based:
+            real_cond_loss = self._cond_loss(real_dict)
+            loss += Ls.cond_lambda * real_cond_loss
+            if M.aux_cls_type == "TAC":
+                loss += Ls.tac_dis_lambda * self._cond_loss_mi(fake_dict)
+            elif M.aux_cls_type == "ADC":
+                loss += Ls.cond_lambda * self._cond_loss(fake_dict)
+
+        if Ls.apply_lo:
+            loss += Ls.lo_lambda * fakes["trsp_cost"]
+
+        if Ls.apply_cr:
+            prl = self.parallel_augment(k_prl_r, real_images)
+            prl_dict, _ = self._d_apply(d_params, d_state2, prl, real_labels)
+            loss += Ls.cr_lambda * self._consistency_terms(real_dict, prl_dict)
+
+        if Ls.apply_bcr:
+            prl_r = self.parallel_augment(k_prl_r, real_images)
+            prl_f = self.parallel_augment(k_prl_f, fake_images)
+            prl_r_dict, _ = self._d_apply(d_params, d_state2, prl_r, real_labels)
+            prl_f_dict, _ = self._d_apply(d_params, d_state2, prl_f, fake_labels,
+                                          adc_fake=True)
+            loss += (Ls.real_lambda * self._consistency_terms(real_dict, prl_r_dict)
+                     + Ls.fake_lambda * self._consistency_terms(fake_dict, prl_f_dict))
+
+        if Ls.apply_zcr:
+            eps_dict, _ = self._d_apply(d_params, d_state2,
+                                        jax.lax.stop_gradient(fakes["images_eps"]),
+                                        fake_labels, adc_fake=True)
+            loss += Ls.d_lambda * self._consistency_terms(fake_dict, eps_dict)
+
+        def d_adv_on(images, labels):
+            out, _ = self._d_apply(d_params, d_state, images, labels)
+            return out["adv_output"]
+
+        if Ls.apply_gp:
+            loss += Ls.gp_lambda * L.cal_grad_penalty(
+                lambda im: d_adv_on(im, real_labels), k_gp, real_images, fake_images)
+        if Ls.apply_dra:
+            loss += Ls.dra_lambda * L.cal_dra_penalty(
+                lambda im: d_adv_on(im, real_labels), k_gp, real_images)
+        if Ls.apply_maxgp:
+            loss += Ls.maxgp_lambda * L.cal_maxgrad_penalty(
+                lambda im: d_adv_on(im, real_labels), k_gp, real_images, fake_images)
+
+        new_lecam = lecam
+        if Ls.apply_lecam:
+            real_mean = jax.lax.stop_gradient(jnp.mean(real_dict["adv_output"]))
+            fake_mean = jax.lax.stop_gradient(jnp.mean(fake_dict["adv_output"]))
+            new_lecam = L.lecam_ema_update(lecam, "D_real", real_mean, step,
+                                           Ls.lecam_ema_decay, Ls.lecam_ema_start_iter)
+            new_lecam = L.lecam_ema_update(new_lecam, "D_fake", fake_mean, step,
+                                           Ls.lecam_ema_decay, Ls.lecam_ema_start_iter)
+            lecam_loss = L.lecam_reg(real_dict["adv_output"], fake_dict["adv_output"],
+                                     new_lecam["D_real"], new_lecam["D_fake"])
+            loss += Ls.lecam_lambda * jnp.where(
+                step > Ls.lecam_ema_start_iter, lecam_loss, 0.0)
+
+        r1_penalty = jnp.asarray(0.0)
+        if Ls.apply_r1_reg and not self.is_stylegan:
+            r1_penalty = L.cal_r1_reg(
+                lambda im: d_adv_on(series(k_aug_r, im), real_labels), real_images)
+            loss += Ls.r1_lambda * r1_penalty
+
+        aux = dict(
+            d_state=d_state2, lecam=new_lecam,
+            real_cond_loss=real_cond_loss, r1_penalty=r1_penalty,
+            sign_real=jnp.sum(jnp.sign(real_dict["adv_output"])),
+            count=jnp.asarray(float(real_labels.shape[0])),
+        )
+        return loss, aux
+
+    # -- G loss (reference worker.train_generator:516-625) -----------------
+
+    def _g_adv_loss(self, adv_output, fake_labels, topk):
+        Ls = self.Ls
+        if self.mh:
+            return Ls.mh_lambda * L.crammer_singer_loss(adv_output, fake_labels)
+        if Ls.apply_topk:
+            elem = {
+                "vanilla": lambda x: jax.nn.softplus(-x),
+                "logistic": lambda x: jax.nn.softplus(-x),
+                "least_square": lambda x: 0.5 * (x - 1.0) ** 2,
+                "hinge": lambda x: -x,
+                "wasserstein": lambda x: -x,
+            }[Ls.adv_loss]
+            vals = jnp.sort(adv_output)[::-1]
+            w = (jnp.arange(vals.shape[0]) < topk).astype(vals.dtype)
+            return jnp.sum(elem(vals) * w) / jnp.maximum(topk, 1.0)
+        return self.g_adv(adv_output)
+
+    def _g_loss_fn(self, g_params, d_info_params, g_state, d_params, d_state,
+                   real_micro, rng, step, ada_p, topk):
+        Ls, M = self.Ls, self.M
+        if d_info_params is not None:
+            d_params = _merge_info(d_params, d_info_params)
+        k_fake, k_aug, k_aug_r = jax.random.split(rng, 3)
+
+        fakes = self._sample_fakes(g_params, g_state, d_params, d_state,
+                                   k_fake, self.O.batch_size, update_g_state=True)
+        fake_images, fake_labels = fakes["images"], fakes["labels"]
+        fake_aug = (self.series_augment(k_aug, fake_images, ada_p)
+                    if self.has_series_aug else fake_images)
+
+        mut = tuple(d_state.keys())
+        fake_dict, d_state1 = self._d_apply(d_params, d_state, fake_aug,
+                                            fake_labels, mutable=mut)
+
+        loss = self._g_adv_loss(fake_dict["adv_output"], fake_labels, topk)
+
+        if self.classifier_based:
+            loss += Ls.cond_lambda * self._cond_loss(fake_dict)
+            if M.aux_cls_type == "TAC":
+                loss += Ls.tac_gen_lambda * (-self._cond_loss_mi(fake_dict))
+            elif M.aux_cls_type == "ADC":
+                adc_dict, _ = self._d_apply(d_params, d_state1, fake_aug,
+                                            fake_labels, adc_fake=True)
+                loss += Ls.cond_lambda * (-self._cond_loss(adc_dict))
+
+        if Ls.apply_fm:
+            real_images, real_labels = real_micro
+            real_aug = (self.series_augment(k_aug_r, real_images, ada_p)
+                        if self.has_series_aug else real_images)
+            real_dict, _ = self._d_apply(d_params, d_state1, real_aug, real_labels)
+            loss += Ls.fm_lambda * L.feature_matching_loss(
+                jax.lax.stop_gradient(real_dict["h"]), fake_dict["h"])
+
+        if Ls.apply_lo:
+            loss += Ls.lo_lambda * fakes["trsp_cost"]
+
+        if Ls.apply_zcr:
+            loss += Ls.g_lambda * (-self._l2(fake_images, fakes["images_eps"]))
+
+        if M.info_type in ("discrete", "both"):
+            dim = M.info_dim_discrete_c
+            logits = fake_dict["info_discrete_c_logits"]
+            info_loss = 0.0
+            for i in range(M.info_num_discrete_c):
+                info_loss += L.cross_entropy_loss(
+                    logits[:, i * dim:(i + 1) * dim], fakes["info_discrete_c"][:, i])
+            loss += Ls.infoGAN_loss_discrete_lambda * info_loss
+        if M.info_type in ("continuous", "both"):
+            loss += Ls.infoGAN_loss_conti_lambda * L.normal_nll_loss(
+                fakes["info_conti_c"], fake_dict["info_conti_mu"],
+                fake_dict["info_conti_var"])
+
+        aux = dict(g_state=fakes["g_state"], d_state=d_state1,
+                   sign_fake=jnp.sum(jnp.sign(fake_dict["adv_output"])))
+        return loss, aux
+
+    # -- full train step ----------------------------------------------------
+
+    def init_state(self, rng: Array, ckpt_like: bool = False) -> GANTrainState:
+        M, O, D = self.M, self.O, self.cfg.DATA
+        k_g, k_d, k_run = jax.random.split(rng, 3)
+        z = jnp.zeros((2, M.z_dim + _info_extra_dim(M)))
+        y = jnp.zeros((2,), jnp.int32)
+        g_vars = self.G.init(k_g, z, y, train=True)
+        g_params = g_vars.pop("params")
+        g_state = dict(g_vars)
+        x = jnp.zeros((2, D.img_size, D.img_size, D.img_channels))
+        d_vars = self.D.init(k_d, x, y, train=True)
+        d_params = d_vars.pop("params")
+        d_state = dict(d_vars)
+
+        state = GANTrainState(
+            step=jnp.asarray(0, jnp.int32),
+            rng=k_run,
+            g_params=g_params, g_state=g_state,
+            d_params=d_params, d_state=d_state,
+            g_opt=self.g_tx.init(g_params),
+            d_opt=self.d_tx.init(d_params),
+            g_ema_params=jax.tree.map(jnp.copy, g_params) if M.apply_g_ema else None,
+            g_ema_state=jax.tree.map(jnp.copy, g_state) if M.apply_g_ema else None,
+            topk=jnp.asarray(float(O.batch_size)),
+            ada_p=jnp.asarray(float(self.A.ada_initial_augment_p)
+                              if self.A.apply_ada and self.A.ada_initial_augment_p != NA
+                              else (float(self.A.apa_initial_augment_p)
+                                    if self.A.apply_apa and self.A.apa_initial_augment_p != NA
+                                    else 0.0)),
+            lecam=init_lecam() if self.Ls.apply_lecam else None,
+            info_opt=self.info_tx.init(d_params) if self.is_infogan else None,
+        )
+        return state
+
+    def train_step(self, state: GANTrainState, real_images: Array,
+                   real_labels: Array):
+        """One full reference 'step': d_updates x acml D passes + lazy regs
+        + ADA controller + g_updates x acml G passes + EMA + counters.
+
+        real_images: (d_updates*acml, B, H, W, C) basket; labels likewise.
+        """
+        O = self.O
+        du, ac, B = O.d_updates_per_step, O.acml_steps, O.batch_size
+        imgs = real_images.reshape(du, ac, B, *real_images.shape[2:])
+        labs = real_labels.reshape(du, ac, B)
+
+        # ---------------- D updates ----------------
+        def d_update(carry, xs):
+            st, metrics_prev = carry
+            micro_imgs, micro_labs, upd_idx = xs
+            rng, step_rng = jax.random.split(st.rng)
+
+            def acml_body(inner, micro):
+                grads_acc, d_state, g_state, lecam, stats = inner
+                mi, ml, k = micro
+                k1, k2 = jax.random.split(k)
+                fakes = self._sample_fakes(st.g_params, g_state, st.d_params,
+                                           d_state, k1, B, update_g_state=False)
+                (loss, aux), grads = jax.value_and_grad(
+                    self._d_loss_fn, has_aux=True)(
+                        st.d_params, d_state, mi, ml, fakes, k2, st.step,
+                        st.ada_p, lecam)
+                stats = dict(
+                    d_loss=loss, real_cond_loss=aux["real_cond_loss"],
+                    r1=aux["r1_penalty"],
+                    sign_real=stats["sign_real"] + aux["sign_real"],
+                    count=stats["count"] + aux["count"])
+                return (_tree_add(grads_acc, grads), aux["d_state"],
+                        fakes["g_state"], aux["lecam"], stats), None
+
+            ks = jax.random.split(step_rng, ac)
+            init_stats = dict(d_loss=0.0, real_cond_loss=0.0, r1=0.0,
+                              sign_real=st.ada_stats[0], count=st.ada_stats[1])
+            (grads, d_state, g_state, lecam, stats), _ = jax.lax.scan(
+                acml_body,
+                (_tree_zeros_like(st.d_params), st.d_state, st.g_state,
+                 st.lecam, init_stats),
+                (micro_imgs, micro_labs, ks))
+            grads = _tree_scale(grads, 1.0 / ac)
+            updates, d_opt = self.d_tx.update(grads, st.d_opt, st.d_params)
+            d_params = optax.apply_updates(st.d_params, updates)
+            if self.Ls.apply_wc:
+                d_params = jax.tree.map(
+                    lambda p: jnp.clip(p, -self.Ls.wc_bound, self.Ls.wc_bound),
+                    d_params)
+            st = st.replace(d_params=d_params, d_opt=d_opt, d_state=d_state,
+                            g_state=g_state, lecam=lecam, rng=rng,
+                            ada_stats=jnp.stack([stats["sign_real"],
+                                                 stats["count"]]))
+            return (st, stats), None
+
+        (state, d_stats), _ = jax.lax.scan(
+            d_update,
+            (state, dict(d_loss=jnp.asarray(0.0), real_cond_loss=jnp.asarray(0.0),
+                         r1=jnp.asarray(0.0), sign_real=jnp.asarray(0.0),
+                         count=jnp.asarray(0.0))),
+            (imgs, labs, jnp.arange(du)))
+
+        # ---------------- ADA / APA controller ----------------
+        # (reference worker.py:477-487; adjusted once per qualifying step
+        # with the stats accumulated since the last adjustment)
+        if (self.A.apply_ada or self.A.apply_apa) and self.aa_target not in (NA, None):
+            do_adjust = (state.step % self.aa_interval) == 0
+            heuristic = state.ada_stats[0] / jnp.maximum(state.ada_stats[1], 1.0)
+            adjust = (jnp.sign(heuristic - self.aa_target)
+                      * state.ada_stats[1] / (self.aa_kimg * 1000.0))
+            new_p = jnp.clip(state.ada_p + adjust, 0.0, 1.0)
+            state = state.replace(
+                ada_p=jnp.where(do_adjust, new_p, state.ada_p),
+                ada_stats=jnp.where(do_adjust, jnp.zeros(2), state.ada_stats))
+
+        # ---------------- G updates ----------------
+        g_metrics = dict(g_loss=jnp.asarray(0.0))
+        real_micro = (imgs[0, 0], labs[0, 0])
+        for _ in range(O.g_updates_per_step):
+            rng, step_rng = jax.random.split(state.rng)
+            state = state.replace(rng=rng)
+
+            def g_acml(inner, k):
+                grads_acc, info_grads_acc, g_state, d_state, gl = inner
+                argnums = (0, 1) if self.is_infogan else 0
+                (loss, aux), grads = jax.value_and_grad(
+                    self._g_loss_fn, argnums=argnums, has_aux=True)(
+                        state.g_params,
+                        state.d_params if self.is_infogan else None,
+                        g_state, state.d_params, d_state, real_micro, k,
+                        state.step, state.ada_p, state.topk)
+                if self.is_infogan:
+                    g_grads, i_grads = grads
+                    info_grads_acc = _tree_add(info_grads_acc, i_grads)
+                else:
+                    g_grads = grads
+                return (_tree_add(grads_acc, g_grads), info_grads_acc,
+                        aux["g_state"], aux["d_state"], gl + loss), None
+
+            ks = jax.random.split(step_rng, ac)
+            info_zero = _tree_zeros_like(state.d_params) if self.is_infogan else None
+            (g_grads, info_grads, g_state, d_state, g_loss), _ = jax.lax.scan(
+                g_acml,
+                (_tree_zeros_like(state.g_params), info_zero, state.g_state,
+                 state.d_state, jnp.asarray(0.0)),
+                ks)
+            g_grads = _tree_scale(g_grads, 1.0 / ac)
+            updates, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
+            g_params = optax.apply_updates(state.g_params, updates)
+            state = state.replace(g_params=g_params, g_opt=g_opt,
+                                  g_state=g_state, d_state=d_state)
+            if self.is_infogan:
+                info_grads = _tree_scale(info_grads, 1.0 / ac)
+                i_updates, info_opt = self.info_tx.update(
+                    info_grads, state.info_opt, state.d_params)
+                state = state.replace(
+                    d_params=optax.apply_updates(state.d_params, i_updates),
+                    info_opt=info_opt)
+            g_metrics["g_loss"] = g_loss / ac
+
+            # EMA update per G update (reference worker.py:675-676)
+            if self.M.apply_g_ema:
+                if self.is_stylegan:
+                    decay = stylegan_decay(state.step, self.effective_batch_size,
+                                           self.cfg.STYLEGAN.g_ema_kimg,
+                                           self.cfg.STYLEGAN.g_ema_rampup)
+                else:
+                    decay = vanilla_decay(state.step, self.M.g_ema_decay,
+                                          self.M.g_ema_start)
+                state = state.replace(
+                    g_ema_params=ema_update(state.g_ema_params, state.g_params,
+                                            decay),
+                    g_ema_state=jax.tree.map(
+                        lambda s: jnp.copy(s), state.g_state))
+
+        # ---------------- counters ----------------
+        if self.Ls.apply_topk:
+            state = state.replace(topk=L.adjust_k(
+                state.topk, self.Ls.topk_gamma,
+                float(int(self.O.batch_size * self.Ls.topk_nu))))
+        state = state.replace(step=state.step + 1)
+
+        metrics = dict(
+            d_loss=d_stats["d_loss"], g_loss=g_metrics["g_loss"],
+            real_cond_loss=d_stats["real_cond_loss"], r1_penalty=d_stats["r1"],
+            ada_p=state.ada_p, topk=state.topk,
+        )
+        return state, metrics
+
+    # -- inference ---------------------------------------------------------
+
+    def generate(self, state: GANTrainState, rng: Array, batch_size: int,
+                 truncation_factor: float = -1.0, y_sampler="totally_random",
+                 use_ema: bool = True):
+        """Eval-mode image generation (reference sample.generate_images with
+        is_train=False), using EMA weights when available."""
+        params = state.ema_or_g_params if use_ema else state.g_params
+        gstate = state.ema_or_g_state if use_ema else state.g_state
+        k1, k2 = jax.random.split(rng)
+        zs, labels, _ = S.sample_zy(
+            k1, self.M.z_prior, batch_size, self.M.z_dim,
+            self.cfg.DATA.num_classes, truncation_factor, y_sampler, NA)
+        if self.is_infogan:
+            z_extra, _, _ = S.sample_info_codes(k2, self.M, batch_size)
+            zs = jnp.concatenate([zs] + z_extra, axis=1)
+        if self.cfg.RUN.langevin_sampling:
+            R = self.cfg.RUN
+            def g_d_adv(z, y):
+                img, _ = self._g_apply(params, gstate, z, y, train=False)
+                out, _ = self._d_apply(state.d_params, state.d_state, img, y,
+                                       train=False)
+                return out["adv_output"]
+            zs = S.langevin_sampling(zs, labels, g_d_adv, k2, self.M.z_dim,
+                                     R.langevin_rate, R.langevin_noise_std,
+                                     R.langevin_decay, R.langevin_decay_steps,
+                                     R.langevin_steps)
+        use_batch_stats = self.cfg.RUN.batch_statistics
+        imgs, _ = self._g_apply(params, gstate, zs, labels,
+                                train=use_batch_stats)
+        return imgs, labels
+
+
+def _merge_info(d_params, d_info_params):
+    """Graft info-head leaves from d_info_params into d_params so G-step
+    grads w.r.t. the Q-heads flow through the second argument."""
+    def pick(path, a, b):
+        hit = any(getattr(k, "key", None) is not None
+                  and str(getattr(k, "key")).startswith(("info_discrete", "info_conti"))
+                  for k in path)
+        return b if hit else a
+    return jax.tree_util.tree_map_with_path(pick, d_params, d_info_params)
+
+
+def _info_extra_dim(M) -> int:
+    d = 0
+    if M.info_type in ("discrete", "both"):
+        d += M.info_num_discrete_c * M.info_dim_discrete_c
+    if M.info_type in ("continuous", "both"):
+        d += M.info_num_conti_c
+    return d

@@ -16,3 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: full-train-step XLA compiles are minutes on CPU;
+# cache them across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/studiogan_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

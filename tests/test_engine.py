@@ -1,0 +1,137 @@
+"""End-to-end engine tests: the minimum slice (SURVEY.md §7 step 2) and the
+SPMD path on a virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from studiogan_tpu.config import Configurations
+from studiogan_tpu.models import build_generator, build_discriminator
+from studiogan_tpu.train import TrainEngine
+
+
+def tiny_biggan_cfg(**over):
+    cfg = Configurations()
+    cfg.DATA.name, cfg.DATA.img_size, cfg.DATA.num_classes = "CIFAR10", 32, 10
+    cfg.MODEL.backbone = "big_resnet"
+    cfg.MODEL.g_cond_mtd, cfg.MODEL.d_cond_mtd = "cBN", "PD"
+    cfg.MODEL.apply_g_sn = cfg.MODEL.apply_d_sn = True
+    cfg.MODEL.apply_attn = True
+    cfg.MODEL.attn_g_loc, cfg.MODEL.attn_d_loc = [2], [1]
+    cfg.MODEL.z_dim, cfg.MODEL.g_shared_dim = 80, 32
+    cfg.MODEL.g_conv_dim = cfg.MODEL.d_conv_dim = 8
+    cfg.MODEL.apply_g_ema = True
+    cfg.MODEL.g_ema_decay, cfg.MODEL.g_ema_start = 0.999, 0
+    cfg.LOSS.adv_loss = "hinge"
+    cfg.OPTIMIZATION.batch_size = 8
+    cfg.OPTIMIZATION.d_updates_per_step = 2
+    cfg.OPTIMIZATION.acml_steps = 1
+    for k, v in over.items():
+        ns, key = k.split(".")
+        setattr(getattr(cfg, ns), key, v)
+    cfg.finalize()
+    return cfg
+
+
+def make_basket(cfg, seed=0):
+    O = cfg.OPTIMIZATION
+    n = O.d_updates_per_step * O.acml_steps
+    rng = np.random.RandomState(seed)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (n, O.batch_size, cfg.DATA.img_size,
+                                           cfg.DATA.img_size, 3)), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, cfg.DATA.num_classes,
+                                     (n, O.batch_size)), jnp.int32)
+    return imgs, labels
+
+
+def run_steps(cfg, n_steps=2):
+    G, D = build_generator(cfg), build_discriminator(cfg)
+    eng = TrainEngine(cfg, G, D)
+    state = eng.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(eng.train_step, donate_argnums=0)
+    metrics = None
+    for i in range(n_steps):
+        imgs, labels = make_basket(cfg, seed=i)
+        state, metrics = step(state, imgs, labels)
+    return eng, state, metrics
+
+
+class TestBigGANSlice:
+    def test_two_steps_finite_and_params_move(self):
+        cfg = tiny_biggan_cfg()
+        G, D = build_generator(cfg), build_discriminator(cfg)
+        eng = TrainEngine(cfg, G, D)
+        state0 = eng.init_state(jax.random.PRNGKey(0))
+        g0 = jax.tree.map(jnp.copy, state0.g_params)
+        step = jax.jit(eng.train_step)
+        imgs, labels = make_basket(cfg)
+        state1, m1 = step(state0, imgs, labels)
+        state2, m2 = step(state1, imgs, labels)
+        assert np.isfinite(float(m2["d_loss"])) and np.isfinite(float(m2["g_loss"]))
+        assert int(state2.step) == 2
+        moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()) > 0,
+                             g0, state2.g_params)
+        assert any(jax.tree.leaves(moved))
+        # EMA params differ from raw params after updates (decay > 0)
+        diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                            state2.g_params, state2.g_ema_params)
+        assert max(jax.tree.leaves(diff)) > 0
+
+    def test_generate_eval(self):
+        cfg = tiny_biggan_cfg()
+        eng, state, _ = run_steps(cfg, 1)
+        imgs, labels = eng.generate(state, jax.random.PRNGKey(7), 4)
+        assert imgs.shape == (4, 32, 32, 3)
+        assert float(jnp.abs(imgs).max()) <= 1.0
+
+
+class TestLossVariants:
+    @pytest.mark.parametrize("over", [
+        dict(),  # hinge + PD (BigGAN)
+        {"MODEL.d_cond_mtd": "AC", "LOSS.cond_lambda": 1.0},
+        {"MODEL.d_cond_mtd": "2C", "MODEL.d_embed_dim": 16,
+         "LOSS.temperature": 0.5, "LOSS.cond_lambda": 1.0},
+        {"MODEL.d_cond_mtd": "D2DCE", "MODEL.d_embed_dim": 16,
+         "LOSS.temperature": 0.5, "LOSS.m_p": 0.98, "LOSS.cond_lambda": 1.0,
+         "MODEL.normalize_d_embed": True},
+        {"LOSS.adv_loss": "wasserstein", "LOSS.apply_gp": True,
+         "LOSS.gp_lambda": 10.0},
+        {"LOSS.apply_r1_reg": True, "LOSS.r1_lambda": 0.5,
+         "LOSS.adv_loss": "vanilla"},
+        {"LOSS.apply_lecam": True, "LOSS.lecam_lambda": 0.1,
+         "LOSS.lecam_ema_start_iter": 0, "LOSS.lecam_ema_decay": 0.9},
+        {"LOSS.apply_topk": True, "LOSS.topk_gamma": 0.99, "LOSS.topk_nu": 0.5},
+    ])
+    def test_variant_one_step(self, over):
+        cfg = tiny_biggan_cfg(**over)
+        _, state, metrics = run_steps(cfg, 1)
+        assert np.isfinite(float(metrics["d_loss"]))
+        assert np.isfinite(float(metrics["g_loss"]))
+
+
+class TestSPMD:
+    def test_data_parallel_8_devices(self):
+        """The one SPMD step replaces DP/DDP/MDDP: batch sharded over an
+        8-device mesh, state replicated (SURVEY.md §2.8)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        cfg = tiny_biggan_cfg()
+        G, D = build_generator(cfg), build_discriminator(cfg)
+        eng = TrainEngine(cfg, G, D)
+        state = eng.init_state(jax.random.PRNGKey(0))
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        repl = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P(None, "data"))
+        state = jax.device_put(state, repl)
+        imgs, labels = make_basket(cfg)
+        imgs = jax.device_put(imgs, batch_sh)
+        labels = jax.device_put(labels, batch_sh)
+
+        step = jax.jit(eng.train_step,
+                       in_shardings=(repl, batch_sh, batch_sh),
+                       out_shardings=(repl, repl))
+        state, metrics = step(state, imgs, labels)
+        assert np.isfinite(float(metrics["d_loss"]))
+        assert int(state.step) == 1
