@@ -1,0 +1,209 @@
+"""Metric math tests: FID closed forms, IS bounds, PRDC identities,
+inception architecture shapes, resizer semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from studiogan_tpu.metrics import fid, ins, prdc
+from studiogan_tpu.metrics.resize import build_resizer, quantize_images
+
+
+class TestFID:
+    def test_identical_moments_zero(self):
+        rng = np.random.RandomState(0)
+        feats = rng.randn(500, 16)
+        mu, sigma = fid.compute_moments(feats)
+        assert abs(fid.frechet_inception_distance(mu, sigma, mu, sigma)) < 1e-6
+
+    def test_mean_shift_closed_form(self):
+        """FID between N(0,I) and N(d,I) is ||d||^2."""
+        d = 16
+        mu1, mu2 = np.zeros(d), np.full(d, 0.5)
+        sigma = np.eye(d)
+        val = fid.frechet_inception_distance(mu1, sigma, mu2, sigma)
+        assert abs(val - 0.25 * d) < 1e-6
+
+    def test_variance_closed_form(self):
+        """FID between N(0, a I) and N(0, b I) = d (sqrt(a)-sqrt(b))^2."""
+        d = 8
+        a, b = 4.0, 1.0
+        val = fid.frechet_inception_distance(
+            np.zeros(d), a * np.eye(d), np.zeros(d), b * np.eye(d))
+        assert abs(val - d * (2.0 - 1.0) ** 2) < 1e-6
+
+    def test_sample_estimate_close(self):
+        rng = np.random.RandomState(1)
+        f1 = rng.randn(4000, 8)
+        f2 = rng.randn(4000, 8) + np.array([1.0] + [0.0] * 7)
+        mu1, s1 = fid.compute_moments(f1)
+        mu2, s2 = fid.compute_moments(f2)
+        val = fid.frechet_inception_distance(mu1, s1, mu2, s2)
+        assert 0.8 < val < 1.3  # true value 1.0
+
+
+class TestIS:
+    def test_uniform_probs_score_one(self):
+        ps = np.full((100, 10), 0.1)
+        score, std = ins.calculate_kl_div(ps, splits=1)
+        assert abs(score - 1.0) < 1e-6
+
+    def test_onehot_diverse_max_score(self):
+        """Perfectly confident + perfectly diverse -> IS = num_classes."""
+        n, c = 100, 10
+        ps = np.eye(c)[np.arange(n) % c] * (1 - 1e-9) + 1e-10
+        score, _ = ins.calculate_kl_div(ps, splits=1)
+        assert abs(score - c) < 0.01
+
+    def test_top1_top5(self):
+        probs = np.eye(10)[np.arange(20) % 10]
+        labels = np.arange(20) % 10
+        _, _, top1, top5 = ins.eval_features(probs, labels, 1, is_acc=True)
+        assert top1 == 1.0 and top5 == 1.0
+
+
+class TestPRDC:
+    def test_identical_sets_perfect(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(128, 8)
+        out = prdc.compute_prdc(x, x, nearest_k=5)
+        assert out["precision"] == 1.0
+        assert out["recall"] == 1.0
+        assert out["coverage"] == 1.0
+        assert abs(out["density"] - 1.2) < 0.4  # E[density]≈(k+1)/k at identity
+
+    def test_disjoint_sets_zero(self):
+        rng = np.random.RandomState(0)
+        real = rng.randn(128, 8)
+        fake = rng.randn(128, 8) + 100.0
+        out = prdc.compute_prdc(real, fake, nearest_k=5)
+        assert out["precision"] == 0.0
+        assert out["recall"] == 0.0
+        assert out["density"] == 0.0
+        assert out["coverage"] == 0.0
+
+    def test_matches_sklearn_reference(self):
+        """Cross-check against a direct sklearn implementation of the
+        official prdc formulas (the reference's backend)."""
+        from sklearn.metrics import pairwise_distances
+        rng = np.random.RandomState(3)
+        real = rng.randn(64, 4)
+        fake = rng.randn(64, 4) * 1.5 + 0.3
+        k = 5
+
+        def kth_radii(x):
+            d = pairwise_distances(x, x)
+            return np.sort(d, axis=1)[:, k]
+
+        rr, fr = kth_radii(real), kth_radii(fake)
+        d_rf = pairwise_distances(real, fake)
+        expected = dict(
+            precision=(d_rf < rr[:, None]).any(axis=0).mean(),
+            recall=(d_rf < fr[None, :]).any(axis=1).mean(),
+            density=(1.0 / k) * (d_rf < rr[:, None]).sum(axis=0).mean(),
+            coverage=(d_rf.min(axis=1) < rr).mean(),
+        )
+        out = prdc.compute_prdc(real, fake, nearest_k=k)
+        for key in expected:
+            assert abs(out[key] - expected[key]) < 1e-5, key
+
+
+class TestInceptionArchitecture:
+    def test_shapes_and_param_count(self):
+        from studiogan_tpu.metrics.inception_v3 import InceptionV3
+        m = InceptionV3()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        feats, logits = m.apply(v, jnp.zeros((2, 299, 299, 3)))
+        assert feats.shape == (2, 2048)
+        assert logits.shape == (2, 1008)
+        n_params = sum(p.size for p in jax.tree.leaves(v["params"]))
+        # pytorch-fid InceptionV3 (1008-way fc): ~25.3M params
+        assert 23e6 < n_params < 28e6
+
+    def test_torch_state_dict_conversion_structure(self):
+        """Converter maps a synthetic torch-style state dict onto the
+        module's variable tree exactly."""
+        from studiogan_tpu.metrics.inception_v3 import (
+            InceptionV3, load_torch_state_dict)
+        m = InceptionV3()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+
+        sd = {}
+        def walk(tree, prefix):
+            for k, leaf in tree.items():
+                if isinstance(leaf, dict):
+                    walk(leaf, prefix + [k])
+                else:
+                    sd[tuple(prefix + [k])] = np.asarray(leaf)
+        walk(jax.device_get(v["params"]), [])
+        walk(jax.device_get(v["batch_stats"]), [])
+
+        torch_sd = {}
+        for path, arr in sd.items():
+            *mods, kind = path
+            name = ".".join(mods)
+            if kind == "kernel" and mods[-1] == "conv":
+                torch_sd[name + ".weight"] = arr.transpose(3, 2, 0, 1)
+            elif kind == "kernel":  # fc
+                torch_sd[name + ".weight"] = arr.T
+            elif kind == "scale":
+                torch_sd[name + ".weight"] = arr
+            elif kind == "bias":
+                torch_sd[name + ".bias"] = arr
+            elif kind == "mean":
+                torch_sd[name + ".running_mean"] = arr
+            elif kind == "var":
+                torch_sd[name + ".running_var"] = arr
+        converted = load_torch_state_dict(torch_sd)
+        flat_a = jax.tree_util.tree_leaves_with_path(jax.device_get(
+            {"params": v["params"], "batch_stats": v["batch_stats"]}))
+        flat_b = jax.tree_util.tree_leaves_with_path(converted)
+        assert len(flat_a) == len(flat_b)
+        b_map = {jax.tree_util.keystr(p): a for p, a in flat_b}
+        for p, a in flat_a:
+            key = jax.tree_util.keystr(p)
+            assert key in b_map, key
+            np.testing.assert_allclose(a, b_map[key], err_msg=key)
+
+
+class TestResizers:
+    def test_quantize_roundtrip(self):
+        x = np.linspace(-1, 1, 7 * 8 * 8 * 3, dtype=np.float32).reshape(7, 8, 8, 3)
+        q = quantize_images(x)
+        assert q.dtype == np.uint8
+        assert q.min() == 0 and q.max() == 255
+
+    def test_clean_resizer_float_no_clip(self):
+        r = build_resizer("clean", "InceptionV3_tf", 16)
+        x = np.random.RandomState(0).uniform(0, 255, (8, 8, 3)).astype(np.float32)
+        y = r(x)
+        assert y.shape == (16, 16, 3) and y.dtype == np.float32
+
+    def test_legacy_resizer_matches_constant(self):
+        r = build_resizer("legacy", "InceptionV3_tf", 10)
+        x = np.full((5, 5, 3), 100.0, np.float32)
+        y = r(x)
+        assert y.shape == (10, 10, 3)
+        np.testing.assert_allclose(y, 100.0, rtol=1e-5)
+
+
+class TestEvaluatorEndToEnd:
+    def test_evaluate_with_random_backbone(self, tmp_path):
+        """Full metric pipeline over a tiny GAN + random-weight inception:
+        values exist and are finite; moments cache round-trips."""
+        from tests.test_engine import tiny_biggan_cfg, run_steps
+        from studiogan_tpu.metrics import Evaluator
+
+        cfg = tiny_biggan_cfg()
+        cfg.RUN.save_dir = str(tmp_path)
+        eng, state, _ = run_steps(cfg, 1)
+        ev = Evaluator(cfg, eval_dataset_kwargs=dict(
+            data_name="SYNTHETIC", data_dir=None, train=True,
+            synthetic_size=64, num_classes=10, img_size=32),
+            num_generate=64)
+        scores = ev.evaluate(eng, state, ["fid", "is", "prdc"])
+        assert np.isfinite(scores["fid"]) and scores["fid"] > 0
+        assert scores["is"] >= 1.0
+        assert set(scores) >= {"fid", "is", "precision", "recall",
+                               "density", "coverage"}
