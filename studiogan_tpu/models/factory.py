@@ -74,10 +74,12 @@ def build_generator(cfg) -> nn.Module:
             variant="legacy" if backbone.endswith("legacy") else "studiogan",
             g_shared_dim=cfg.MODEL.g_shared_dim, g_conv_dim=cfg.MODEL.g_conv_dim,
             g_depth=cfg.MODEL.g_depth, **_common_g_kwargs(cfg))
-    if backbone in ("stylegan2", "stylegan3"):
-        from studiogan_tpu.models import stylegan2, stylegan3
-        mod = stylegan2 if backbone == "stylegan2" else stylegan3
-        return mod.make_generator(cfg)
+    if backbone == "stylegan2":
+        from studiogan_tpu.models import stylegan2
+        return stylegan2.make_generator(cfg)
+    if backbone == "stylegan3":
+        from studiogan_tpu.models import stylegan3
+        return stylegan3.make_generator(cfg)
     raise NotImplementedError(f"backbone {backbone!r}")
 
 

@@ -82,9 +82,23 @@ class TrainEngine:
 
     # -- module application helpers ---------------------------------------
 
-    def _g_apply(self, params, gstate, z, y, train=True, mutable=()):
+    def _g_apply(self, params, gstate, z, y, train=True, mutable=(), rng=None,
+                 update_emas=False, truncation_psi=1.0, truncation_cutoff=None):
+        kwargs = {}
+        rngs = None
+        if self.is_stylegan:
+            k1, k2 = jax.random.split(rng if rng is not None
+                                      else jax.random.PRNGKey(0))
+            rngs = {"noise": k1, "style_mix": k2}
+            sm_p = self.cfg.STYLEGAN.style_mixing_p
+            kwargs = dict(
+                style_mixing_p=float(sm_p) if (train and sm_p not in (NA, None)) else 0.0,
+                update_emas=update_emas,
+                truncation_psi=truncation_psi,
+                truncation_cutoff=truncation_cutoff)
         out = self.G.apply({"params": params, **gstate}, z, y, train=train,
-                           mutable=list(mutable) if mutable else False)
+                           mutable=list(mutable) if mutable else False,
+                           rngs=rngs, **kwargs)
         if mutable:
             img, new = out
             return img, {**gstate, **new}
@@ -105,7 +119,7 @@ class TrainEngine:
     def _sample_fakes(self, g_params, g_state, d_params, d_state, rng,
                       batch_size, update_g_state: bool):
         M, Ls = self.M, self.Ls
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
         zs, labels, zs_eps = S.sample_zy(
             k1, M.z_prior, batch_size, M.z_dim, self.cfg.DATA.num_classes,
             -1.0, "totally_random", Ls.radius if Ls.apply_zcr else NA)
@@ -118,7 +132,7 @@ class TrainEngine:
         trsp_cost = None
         if Ls.apply_lo:
             def g_d_adv(z, y):
-                img, _ = self._g_apply(g_params, g_state, z, y)
+                img, _ = self._g_apply(g_params, g_state, z, y, rng=k3)
                 out, _ = self._d_apply(d_params, d_state, img, y)
                 return out["adv_output"]
             zs = L.latent_optimise(zs, labels, g_d_adv, k3, Ls.lo_rate,
@@ -126,11 +140,15 @@ class TrainEngine:
             trsp_cost = jnp.asarray(0.0)  # transport cost folded into latents
 
         mutable = self._g_mutable(g_state, update_g_state)
-        fakes, new_g_state = self._g_apply(g_params, g_state, zs, labels,
-                                           mutable=mutable)
+        # reference: stylegan w_avg EMA updates during the D-step generation
+        # only (worker.py:254 stylegan_update_emas=True; :540 False)
+        fakes, new_g_state = self._g_apply(
+            g_params, g_state, zs, labels, mutable=mutable, rng=k4,
+            update_emas=self.is_stylegan and not update_g_state)
         fakes_eps = None
         if zs_eps is not None:
-            fakes_eps, _ = self._g_apply(g_params, new_g_state, zs_eps, labels)
+            fakes_eps, _ = self._g_apply(g_params, new_g_state, zs_eps, labels,
+                                         rng=k5)
         return dict(images=fakes, labels=labels, images_eps=fakes_eps,
                     trsp_cost=trsp_cost, info_discrete_c=info_discrete_c,
                     info_conti_c=info_conti_c, g_state=new_g_state)
@@ -139,10 +157,10 @@ class TrainEngine:
     def _g_mutable(g_state, update_all: bool):
         if update_all:
             return tuple(g_state.keys())
-        # D-step G forward: BN running stats frozen, SN u/v still advance
-        # (torch SN hooks fire regardless of requires_grad;
-        # reference worker.py:226 untracks BN only)
-        return ("sn",) if "sn" in g_state else ()
+        # D-step G forward: BN running stats frozen, SN u/v and the stylegan
+        # w_avg EMA still advance (torch SN hooks fire regardless of
+        # requires_grad; reference worker.py:226 untracks BN only)
+        return tuple(k for k in ("sn", "stats_ema") if k in g_state)
 
     # -- conditioning losses (reference worker.__init__:141-157) ----------
 
@@ -183,7 +201,7 @@ class TrainEngine:
     # -- D loss (reference worker.train_discriminator:230-436) ------------
 
     def _d_loss_fn(self, d_params, d_state, real_images, real_labels, fakes,
-                   rng, step, ada_p, lecam):
+                   rng, step, ada_p, lecam, r1_gate=jnp.asarray(1.0)):
         Ls, M = self.Ls, self.M
         k_apa, k_aug_r, k_aug_f, k_prl_r, k_prl_f, k_gp = jax.random.split(rng, 6)
         fake_images, fake_labels = fakes["images"], fakes["labels"]
@@ -276,6 +294,17 @@ class TrainEngine:
             r1_penalty = L.cal_r1_reg(
                 lambda im: d_adv_on(series(k_aug_r, im), real_labels), real_images)
             loss += Ls.r1_lambda * r1_penalty
+        elif Ls.apply_r1_reg and self.is_stylegan and Ls.r1_place == "inside_loop":
+            # lazy R1 inside the loop, gated on the d_reg_interval
+            # (reference worker.py:415-427)
+            r1_penalty = jax.lax.cond(
+                r1_gate > 0,
+                lambda: L.stylegan_cal_r1_reg(
+                    lambda im: d_adv_on(series(k_aug_r, im), real_labels),
+                    real_images),
+                lambda: jnp.asarray(0.0))
+            loss += (self.cfg.STYLEGAN.d_reg_interval * Ls.r1_lambda
+                     * r1_penalty)
 
         aux = dict(
             d_state=d_state2, lecam=new_lecam,
@@ -363,6 +392,81 @@ class TrainEngine:
                    sign_fake=jnp.sum(jnp.sign(fake_dict["adv_output"])))
         return loss, aux
 
+    # -- stylegan lazy regularizer steps ------------------------------------
+
+    def _lazy_r1_step(self, st: GANTrainState, micro_imgs, micro_labs):
+        """Separate R1-only optimizer step over the same acml micros
+        (reference worker.py:446-475)."""
+        SG, Ls, ac = self.cfg.STYLEGAN, self.Ls, self.O.acml_steps
+        rng, step_rng = jax.random.split(st.rng)
+
+        def r1_loss(d_params, mi, ml, k):
+            k_apa, k_aug, k_fake = jax.random.split(k, 3)
+            imgs = mi
+            if self.A.apply_apa:
+                fakes = self._sample_fakes(st.g_params, st.g_state,
+                                           d_params, st.d_state, k_fake,
+                                           mi.shape[0], update_g_state=False)
+                imgs = apply_apa_aug(k_apa, imgs, fakes["images"], st.ada_p)
+
+            def d_adv(im):
+                im = (self.series_augment(k_aug, im, st.ada_p)
+                      if self.has_series_aug else im)
+                out, _ = self._d_apply(d_params, st.d_state, im, ml)
+                return out["adv_output"]
+
+            pen = L.stylegan_cal_r1_reg(d_adv, imgs)
+            return pen * (SG.d_reg_interval * Ls.r1_lambda / ac)
+
+        def body(carry, micro):
+            grads_acc = carry
+            mi, ml, k = micro
+            grads = jax.grad(r1_loss)(st.d_params, mi, ml, k)
+            return _tree_add(grads_acc, grads), None
+
+        ks = jax.random.split(step_rng, ac)
+        grads, _ = jax.lax.scan(body, _tree_zeros_like(st.d_params),
+                                (micro_imgs, micro_labs, ks))
+        updates, d_opt = self.d_tx.update(grads, st.d_opt, st.d_params)
+        return st.replace(d_params=optax.apply_updates(st.d_params, updates),
+                          d_opt=d_opt, rng=rng)
+
+    def _lazy_pl_step(self, st: GANTrainState) -> GANTrainState:
+        """Path-length regularization: its own optimizer step at
+        g_reg_interval with batch_size // 2 (reference worker.py:637-672)."""
+        SG, ac = self.cfg.STYLEGAN, self.O.acml_steps
+        bs = max(self.O.batch_size // 2, 1)
+        rng, step_rng = jax.random.split(st.rng)
+
+        def pl_loss(g_params, pl_mean, k):
+            k_z, k_y, k_noise, k_pl = jax.random.split(k, 4)
+            zs = jax.random.normal(k_z, (bs, self.M.z_dim + _info_extra_dim(self.M)))
+            labels = jax.random.randint(k_y, (bs,), 0,
+                                        self.cfg.DATA.num_classes)
+            variables = {"params": g_params, **st.g_state}
+            ws = self.G.apply(variables, zs, labels, method=self.G.run_mapping)
+
+            def synth(w):
+                return self.G.apply(variables, w, method=self.G.run_synthesis,
+                                    rngs={"noise": k_noise})
+
+            loss, new_pl_mean = L.cal_pl_reg(synth, k_pl, ws, pl_mean,
+                                             pl_weight=SG.pl_weight)
+            return loss * (SG.g_reg_interval / ac), new_pl_mean
+
+        def body(carry, k):
+            grads_acc, pl_mean = carry
+            grads, pl_mean = jax.grad(pl_loss, has_aux=True)(
+                st.g_params, pl_mean, k)
+            return (_tree_add(grads_acc, grads), pl_mean), None
+
+        ks = jax.random.split(step_rng, ac)
+        (grads, pl_mean), _ = jax.lax.scan(
+            body, (_tree_zeros_like(st.g_params), st.pl_mean), ks)
+        updates, g_opt = self.g_tx.update(grads, st.g_opt, st.g_params)
+        return st.replace(g_params=optax.apply_updates(st.g_params, updates),
+                          g_opt=g_opt, pl_mean=pl_mean, rng=rng)
+
     # -- full train step ----------------------------------------------------
 
     def init_state(self, rng: Array, ckpt_like: bool = False) -> GANTrainState:
@@ -370,7 +474,12 @@ class TrainEngine:
         k_g, k_d, k_run = jax.random.split(rng, 3)
         z = jnp.zeros((2, M.z_dim + _info_extra_dim(M)))
         y = jnp.zeros((2,), jnp.int32)
-        g_vars = self.G.init(k_g, z, y, train=True)
+        if self.is_stylegan:
+            ks = jax.random.split(k_g, 3)
+            g_vars = self.G.init({"params": ks[0], "noise": ks[1],
+                                  "style_mix": ks[2]}, z, y, train=True)
+        else:
+            g_vars = self.G.init(k_g, z, y, train=True)
         g_params = g_vars.pop("params")
         g_state = dict(g_vars)
         x = jnp.zeros((2, D.img_size, D.img_size, D.img_channels))
@@ -416,6 +525,16 @@ class TrainEngine:
             micro_imgs, micro_labs, upd_idx = xs
             rng, step_rng = jax.random.split(st.rng)
 
+            # lazy-reg interval indicator for this D update
+            # (reference worker.py:416,446: (d_updates*step + step_index) %
+            # d_reg_interval == 0)
+            if self.is_stylegan and self.Ls.apply_r1_reg:
+                r1_gate = ((du * st.step + upd_idx)
+                           % self.cfg.STYLEGAN.d_reg_interval == 0
+                           ).astype(jnp.float32)
+            else:
+                r1_gate = jnp.asarray(1.0)
+
             def acml_body(inner, micro):
                 grads_acc, d_state, g_state, lecam, stats = inner
                 mi, ml, k = micro
@@ -425,7 +544,7 @@ class TrainEngine:
                 (loss, aux), grads = jax.value_and_grad(
                     self._d_loss_fn, has_aux=True)(
                         st.d_params, d_state, mi, ml, fakes, k2, st.step,
-                        st.ada_p, lecam)
+                        st.ada_p, lecam, r1_gate)
                 stats = dict(
                     d_loss=loss, real_cond_loss=aux["real_cond_loss"],
                     r1=aux["r1_penalty"],
@@ -453,6 +572,15 @@ class TrainEngine:
                             g_state=g_state, lecam=lecam, rng=rng,
                             ada_stats=jnp.stack([stats["sign_real"],
                                                  stats["count"]]))
+
+            # lazy R1 OUTSIDE the loop: its own optimizer step at
+            # d_reg_interval (reference worker.py:446-475)
+            if (self.Ls.apply_r1_reg and self.is_stylegan
+                    and self.Ls.r1_place == "outside_loop"):
+                st = jax.lax.cond(
+                    r1_gate > 0,
+                    lambda s: self._lazy_r1_step(s, micro_imgs, micro_labs),
+                    lambda s: s, st)
             return (st, stats), None
 
         (state, d_stats), _ = jax.lax.scan(
@@ -478,7 +606,7 @@ class TrainEngine:
         # ---------------- G updates ----------------
         g_metrics = dict(g_loss=jnp.asarray(0.0))
         real_micro = (imgs[0, 0], labs[0, 0])
-        for _ in range(O.g_updates_per_step):
+        for g_idx in range(O.g_updates_per_step):
             rng, step_rng = jax.random.split(state.rng)
             state = state.replace(rng=rng)
 
@@ -520,6 +648,13 @@ class TrainEngine:
                     info_opt=info_opt)
             g_metrics["g_loss"] = g_loss / ac
 
+            # lazy path-length regularization (reference worker.py:637-672)
+            if self.cfg.STYLEGAN.apply_pl_reg and self.is_stylegan:
+                do_pl = ((O.g_updates_per_step * state.step + g_idx)
+                         % self.cfg.STYLEGAN.g_reg_interval == 0)
+                state = jax.lax.cond(do_pl, self._lazy_pl_step,
+                                     lambda s: s, state)
+
             # EMA update per G update (reference worker.py:675-676)
             if self.M.apply_g_ema:
                 if self.is_stylegan:
@@ -559,16 +694,19 @@ class TrainEngine:
         params = state.ema_or_g_params if use_ema else state.g_params
         gstate = state.ema_or_g_state if use_ema else state.g_state
         k1, k2 = jax.random.split(rng)
+        # stylegan truncation acts in W space, not on z (reference
+        # sample.py:104-111)
+        z_trunc = -1.0 if self.is_stylegan else truncation_factor
         zs, labels, _ = S.sample_zy(
             k1, self.M.z_prior, batch_size, self.M.z_dim,
-            self.cfg.DATA.num_classes, truncation_factor, y_sampler, NA)
+            self.cfg.DATA.num_classes, z_trunc, y_sampler, NA)
         if self.is_infogan:
             z_extra, _, _ = S.sample_info_codes(k2, self.M, batch_size)
             zs = jnp.concatenate([zs] + z_extra, axis=1)
         if self.cfg.RUN.langevin_sampling:
             R = self.cfg.RUN
             def g_d_adv(z, y):
-                img, _ = self._g_apply(params, gstate, z, y, train=False)
+                img, _ = self._g_apply(params, gstate, z, y, train=False, rng=k2)
                 out, _ = self._d_apply(state.d_params, state.d_state, img, y,
                                        train=False)
                 return out["adv_output"]
@@ -577,8 +715,12 @@ class TrainEngine:
                                      R.langevin_decay, R.langevin_decay_steps,
                                      R.langevin_steps)
         use_batch_stats = self.cfg.RUN.batch_statistics
+        psi, cutoff = 1.0, None
+        if self.is_stylegan and truncation_factor not in (-1.0, -1, None):
+            psi, cutoff = truncation_factor, self.cfg.RUN.truncation_cutoff
         imgs, _ = self._g_apply(params, gstate, zs, labels,
-                                train=use_batch_stats)
+                                train=use_batch_stats, rng=k2,
+                                truncation_psi=psi, truncation_cutoff=cutoff)
         return imgs, labels
 
 

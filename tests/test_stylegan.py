@@ -1,0 +1,120 @@
+"""StyleGAN2 backbone + engine integration: lazy R1/PL, w_avg EMA,
+truncation, style mixing, minibatch-std."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from studiogan_tpu.config import Configurations
+from studiogan_tpu.models import stylegan2
+from studiogan_tpu.train import TrainEngine
+
+
+def sg2_cfg():
+    cfg = Configurations()
+    cfg.DATA.name, cfg.DATA.img_size, cfg.DATA.num_classes = "CIFAR10", 32, 10
+    cfg.MODEL.backbone = "stylegan2"
+    cfg.MODEL.g_cond_mtd, cfg.MODEL.d_cond_mtd = "cAdaIN", "SPD"
+    cfg.MODEL.g_act_fn = cfg.MODEL.d_act_fn = "Auto"
+    cfg.MODEL.z_dim = cfg.MODEL.w_dim = 32
+    cfg.MODEL.apply_g_ema = True
+    cfg.LOSS.adv_loss = "logistic"
+    cfg.LOSS.apply_r1_reg = True
+    cfg.LOSS.r1_lambda = 0.01
+    cfg.LOSS.r1_place = "outside_loop"
+    cfg.OPTIMIZATION.batch_size = 8
+    cfg.OPTIMIZATION.g_lr = cfg.OPTIMIZATION.d_lr = 0.0025
+    cfg.OPTIMIZATION.beta1, cfg.OPTIMIZATION.beta2 = 0.0, 0.99
+    cfg.OPTIMIZATION.d_first = False
+    cfg.OPTIMIZATION.d_updates_per_step = 1
+    cfg.OPTIMIZATION.g_updates_per_step = 1
+    cfg.STYLEGAN.g_reg_interval = 4
+    cfg.STYLEGAN.d_reg_interval = 2
+    cfg.STYLEGAN.mapping_network = 2
+    cfg.STYLEGAN.style_mixing_p = 0.5
+    cfg.STYLEGAN.g_ema_kimg = 500
+    cfg.STYLEGAN.g_ema_rampup = 0.05
+    cfg.STYLEGAN.apply_pl_reg = True
+    cfg.STYLEGAN.pl_weight = 2.0
+    cfg.STYLEGAN.d_architecture = "orig"
+    cfg.STYLEGAN.d_epilogue_mbstd_group_size = 4
+    cfg.finalize()
+    cfg.check_compatability()
+    return cfg
+
+
+def small_modules(cfg):
+    G = stylegan2.Generator(
+        z_dim=cfg.MODEL.z_dim, c_dim=cfg.DATA.num_classes,
+        w_dim=cfg.MODEL.w_dim, img_resolution=32, img_channels=3,
+        num_classes=10, mapping_layers=2, channel_base=256, channel_max=32)
+    D = stylegan2.Discriminator(
+        c_dim=cfg.DATA.num_classes, img_resolution=32, img_channels=3,
+        architecture="orig", channel_base=256, channel_max=32,
+        d_cond_mtd="SPD", num_classes=10, mbstd_group_size=4)
+    return G, D
+
+
+class TestStyleGAN2Engine:
+    def test_train_steps_with_lazy_regs(self):
+        cfg = sg2_cfg()
+        G, D = small_modules(cfg)
+        eng = TrainEngine(cfg, G, D)
+        state = eng.init_state(jax.random.PRNGKey(0))
+        assert "stats_ema" in state.g_state
+        step = jax.jit(eng.train_step)
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.uniform(-1, 1, (1, 8, 32, 32, 3)), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, 10, (1, 8)), jnp.int32)
+        s1, m1 = step(state, imgs, labels)        # step 0: both lazy regs fire
+        s2, m2 = step(s1, imgs, labels)           # step 1: neither fires
+        assert np.isfinite(float(m2["d_loss"])) and np.isfinite(float(m2["g_loss"]))
+        # pl_mean moved at step 0 (PL fired), unchanged at step 1
+        assert float(s1.pl_mean) != 0.0
+        assert float(s2.pl_mean) == float(s1.pl_mean)
+        # w_avg EMA advanced during D-step generation
+        w_avg = s2.g_state["stats_ema"]["mapping"]["w_avg"]
+        assert float(jnp.abs(w_avg).max()) > 0
+
+    def test_truncation_and_generate(self):
+        cfg = sg2_cfg()
+        G, D = small_modules(cfg)
+        eng = TrainEngine(cfg, G, D)
+        state = eng.init_state(jax.random.PRNGKey(0))
+        imgs_full, _ = eng.generate(state, jax.random.PRNGKey(1), 4,
+                                    truncation_factor=-1.0)
+        imgs_trunc, _ = eng.generate(state, jax.random.PRNGKey(1), 4,
+                                     truncation_factor=0.5)
+        assert imgs_full.shape == (4, 32, 32, 3)
+        # w_avg is ~0 at init, so truncation contracts outputs toward G(w~0)
+        assert not np.allclose(np.asarray(imgs_full), np.asarray(imgs_trunc))
+
+
+class TestStyleGANPieces:
+    def test_mbstd_shapes(self):
+        m = stylegan2.MinibatchStdLayer(group_size=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 16))
+        y = m.apply({}, x)
+        assert y.shape == (8, 4, 4, 17)
+        # appended channel is constant within each group
+        std_map = np.asarray(y[..., -1])
+        assert np.allclose(std_map[0], std_map[1])
+
+    def test_modulated_conv_demodulation_normalizes(self):
+        """After demodulation each output channel has ~unit scale."""
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (4, 8, 8, 16))
+        w = jax.random.normal(jax.random.PRNGKey(1), (32, 16, 3, 3))
+        styles = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (4, 16))) + 0.5
+        y = stylegan2.modulated_conv2d(x, w, styles, padding=1)
+        assert y.shape == (4, 8, 8, 32)
+        assert 0.5 < float(y.std()) < 2.0  # demodulated scale ~1
+
+    def test_fully_connected_lr_multiplier(self):
+        fc = stylegan2.FullyConnectedLayer(8, lr_multiplier=0.01)
+        v = fc.init(jax.random.PRNGKey(0), jnp.ones((2, 4)))
+        # raw param is scaled UP by 1/lr_mult at init; runtime gain undoes it
+        assert float(jnp.abs(v["params"]["weight"]).mean()) > 10.0
+        y = fc.apply(v, jnp.ones((2, 4)))
+        assert float(jnp.abs(y).mean()) < 5.0
