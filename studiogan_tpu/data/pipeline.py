@@ -69,17 +69,27 @@ class BasketLoader:
     def _make_basket(self):
         n = self.batch_size * self.basket_multiplier
         idx = self._next_indices(n)
-        imgs = np.empty((n, *self.ds[0][0].shape), dtype=np.uint8)
-        labels = np.empty((n,), dtype=np.int32)
-        for i, j in enumerate(idx):
-            img, lab = self.ds[int(j)]
-            imgs[i] = img
-            labels[i] = lab
-        x = imgs.astype(np.float32) / 127.5 - 1.0  # [-1,1] (data_util.py:92-94)
-        if self.random_flip:
-            rng = np.random.RandomState((self.seed, self.epoch, self._cursor) .__hash__() & 0x7FFFFFFF)
-            flip = rng.rand(n) < 0.5
-            x[flip] = x[flip, :, ::-1]
+        rng = np.random.RandomState(
+            (self.seed, self.epoch, self._cursor).__hash__() & 0x7FFFFFFF)
+        flip = ((rng.rand(n) < 0.5) if self.random_flip
+                else np.zeros(n, bool)).astype(np.uint8)
+
+        x = None
+        if getattr(self.ds, "_mode", None) == "memory":
+            # native C++ path: gather + normalize + flip in one pass
+            from studiogan_tpu import runtime
+            x = runtime.assemble_basket(self.ds._images, idx, flip)
+            labels = np.asarray(self.ds._labels)[idx].astype(np.int32)
+        if x is None:  # python fallback (folder/hdf5 datasets or no toolchain)
+            imgs = np.empty((n, *self.ds[0][0].shape), dtype=np.uint8)
+            labels = np.empty((n,), dtype=np.int32)
+            for i, j in enumerate(idx):
+                img, lab = self.ds[int(j)]
+                imgs[i] = img
+                labels[i] = lab
+            x = imgs.astype(np.float32) / 127.5 - 1.0  # [-1,1] (data_util.py:92-94)
+            fb = flip.astype(bool)
+            x[fb] = x[fb, :, ::-1]
         x = x.reshape(self.basket_multiplier, self.batch_size, *x.shape[1:])
         labels = labels.reshape(self.basket_multiplier, self.batch_size)
         return x, labels

@@ -23,10 +23,20 @@ Array = jax.Array
 def filtered_lrelu(x: Array, fu=None, fd=None, b: Array | None = None,
                    up: int = 1, down: int = 1, padding=0,
                    gain: float = math.sqrt(2), slope: float = 0.2,
-                   clamp: float | None = None, flip_filter: bool = False) -> Array:
+                   clamp: float | None = None, flip_filter: bool = False,
+                   impl: str = "ref") -> Array:
     assert x.ndim == 4  # NHWC
     assert isinstance(up, int) and up >= 1
     assert isinstance(down, int) and down >= 1
+    if impl == "pallas" and not flip_filter and \
+            (fu is None or getattr(fu, "ndim", 2) == 1) and \
+            (fd is None or getattr(fd, "ndim", 2) == 1):
+        # fused Pallas kernel: FIR-as-matmul, intermediate stays in VMEM
+        from studiogan_tpu.ops.pallas.filtered_lrelu_kernel import (
+            filtered_lrelu_pallas)
+        return filtered_lrelu_pallas(x, fu, fd, b, up=up, down=down,
+                                     padding=padding, gain=gain, slope=slope,
+                                     clamp=clamp)
     px0, px1, py0, py1 = _parse_padding(padding)
 
     x = bias_act(x, b)                                            # bias

@@ -207,6 +207,10 @@ class TrainEngine:
         fake_images, fake_labels = fakes["images"], fakes["labels"]
         fake_images = jax.lax.stop_gradient(fake_images)
 
+        if self._blur_active:  # stylegan3-r fade-in blur (worker.py:264-272)
+            real_images = self._blur_images(real_images, step)
+            fake_images = self._blur_images(fake_images, step)
+
         if self.A.apply_apa:
             real_images = apply_apa_aug(k_apa, real_images, fake_images, ada_p)
 
@@ -343,6 +347,8 @@ class TrainEngine:
         fakes = self._sample_fakes(g_params, g_state, d_params, d_state,
                                    k_fake, self.O.batch_size, update_g_state=True)
         fake_images, fake_labels = fakes["images"], fakes["labels"]
+        if self._blur_active:  # stylegan3-r blur in the G pass (worker.py:543)
+            fake_images = self._blur_images(fake_images, step)
         fake_aug = (self.series_augment(k_aug, fake_images, ada_p)
                     if self.has_series_aug else fake_images)
 
@@ -391,6 +397,83 @@ class TrainEngine:
         aux = dict(g_state=fakes["g_state"], d_state=d_state1,
                    sign_fake=jnp.sum(jnp.sign(fake_dict["adv_output"])))
         return loss, aux
+
+    # -- stylegan3-r blur schedule (reference worker.py:264-272,543-548) ----
+
+    @property
+    def _blur_active(self) -> bool:
+        return (self.M.backbone == "stylegan3"
+                and self.cfg.STYLEGAN.stylegan3_cfg == "stylegan3-r"
+                and self.cfg.STYLEGAN.blur_init_sigma != NA)
+
+    def _blur_schedule(self, step):
+        blur_fade_kimg = self.effective_batch_size * 200 / 32
+        return jnp.maximum(
+            1 - (self.effective_batch_size * step.astype(jnp.float32))
+            / (blur_fade_kimg * 1e3), 0.0) * self.cfg.STYLEGAN.blur_init_sigma
+
+    def _blur_images(self, images, step):
+        """Gaussian-ish exp2 blur with step-faded sigma.  The reference
+        builds a dynamically-sized filter (floor(3*sigma) taps); under jit
+        we use a static worst-case window masked by the traced sigma."""
+        from studiogan_tpu.ops.upfirdn2d import upfirdn2d
+        sigma = self._blur_schedule(step)
+        max_size = int(self.cfg.STYLEGAN.blur_init_sigma * 3)
+        idx = jnp.arange(-max_size, max_size + 1, dtype=jnp.float32)
+        f = jnp.exp2(-jnp.square(idx / jnp.maximum(sigma, 1e-8)))
+        f = jnp.where(jnp.abs(idx) <= jnp.floor(sigma * 3), f, 0.0)
+        f = jnp.where(sigma > 0, f, (idx == 0).astype(jnp.float32))
+        f = f / jnp.sum(f)
+        return upfirdn2d(images, f, padding=(max_size, max_size,
+                                             max_size, max_size))
+
+    # -- standing statistics (reference misc.py:301-340) --------------------
+
+    def prepare_standing_state(self, state: GANTrainState, rng: Array):
+        """Re-estimate BN moments of the eval generator by averaging batch
+        moments over `standing_step` random-size batches.  Returns a
+        g_state to pass to generate(override_g_state=...).
+
+        Batch moments are recovered algebraically from one EMA update off
+        a reset state (momentum m: batch = (new - (1-m)*reset)/m), so no
+        module plumbing for a 'cumulative' mode is needed; batch sizes
+        are bucketed to powers of two to bound recompilation."""
+        import random as _pyrandom
+
+        R, m = self.cfg.RUN, 0.1
+        g_params = state.ema_or_g_params
+        base_state = jax.device_get(state.ema_or_g_state)
+        if "batch_stats" not in base_state:
+            return state.ema_or_g_state  # no BN (stylegan): no-op
+
+        def reset(tree, is_var):
+            return jax.tree.map(
+                lambda x: jnp.ones_like(x) if is_var else jnp.zeros_like(x), tree)
+
+        bs_buckets = sorted({2 ** i for i in range(0, 12)
+                             if 2 ** i <= R.standing_max_batch} | {1})
+        reset_bs = jax.tree_util.tree_map_with_path(
+            lambda p, x: jnp.ones_like(x)
+            if str(getattr(p[-1], "key", "")) == "var" else jnp.zeros_like(x),
+            base_state["batch_stats"])
+
+        acc = None
+        for i in range(R.standing_step):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            bs = bs_buckets[_pyrandom.Random(i).randrange(len(bs_buckets))]
+            z = jax.random.normal(k1, (bs, self.M.z_dim + _info_extra_dim(self.M)))
+            y = jax.random.randint(k2, (bs,), 0, self.cfg.DATA.num_classes)
+            gstate_i = {**base_state, "batch_stats": reset_bs}
+            _, new_state = self._g_apply(g_params, gstate_i, z, y, train=True,
+                                         mutable=("batch_stats",), rng=rng)
+            batch_moments = jax.tree_util.tree_map_with_path(
+                lambda p, new, init: (new - (1 - m) * init) / m
+                if str(getattr(p[-1], "key", "")) in ("mean", "var")
+                else new,
+                new_state["batch_stats"], reset_bs)
+            acc = batch_moments if acc is None else _tree_add(acc, batch_moments)
+        standing = _tree_scale(acc, 1.0 / R.standing_step)
+        return {**base_state, "batch_stats": standing}
 
     # -- stylegan lazy regularizer steps ------------------------------------
 
@@ -688,11 +771,14 @@ class TrainEngine:
 
     def generate(self, state: GANTrainState, rng: Array, batch_size: int,
                  truncation_factor: float = -1.0, y_sampler="totally_random",
-                 use_ema: bool = True):
+                 use_ema: bool = True, override_g_state=None):
         """Eval-mode image generation (reference sample.generate_images with
-        is_train=False), using EMA weights when available."""
+        is_train=False), using EMA weights when available.
+        override_g_state: standing-statistics state from
+        prepare_standing_state (reference GeneratorController)."""
         params = state.ema_or_g_params if use_ema else state.g_params
-        gstate = state.ema_or_g_state if use_ema else state.g_state
+        gstate = override_g_state if override_g_state is not None else (
+            state.ema_or_g_state if use_ema else state.g_state)
         k1, k2 = jax.random.split(rng)
         # stylegan truncation acts in W space, not on z (reference
         # sample.py:104-111)

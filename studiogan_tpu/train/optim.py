@@ -38,21 +38,57 @@ def build_g_optimizer(cfg) -> optax.GradientTransformation:
     return _base_tx(OPT, OPT.g_lr, OPT.g_betas, OPT.g_weight_decay)
 
 
+def _freeze_except(tx, keep_fn):
+    """Apply ``tx`` only where keep_fn(path) is True; zero elsewhere.
+    (optax.masked is NOT suitable: it passes masked-out grads through.)"""
+    import jax
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: "train" if keep_fn(p) else "freeze", params)
+
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()},
+                                 label_fn)
+
+
 def build_d_optimizer(cfg) -> optax.GradientTransformation:
     OPT = cfg.OPTIMIZATION
     tx = _base_tx(OPT, OPT.d_lr, OPT.d_betas, OPT.d_weight_decay)
-    if cfg.MODEL.info_type in ("discrete", "continuous", "both"):
+    is_info = cfg.MODEL.info_type in ("discrete", "continuous", "both")
+    freeze_blocks = (tuple(f"block{i}" for i in range(cfg.RUN.freezeD))
+                     if cfg.RUN.freezeD > 0
+                     and cfg.MODEL.backbone not in ("stylegan2", "stylegan3")
+                     else ())
+
+    if not is_info and not freeze_blocks:
+        return tx
+
+    def keep(path):
         # InfoGAN Q-heads are owned by the G optimizer
-        # (reference config.py:500-521): mask them out of D updates.
-        tx = optax.masked(tx, lambda params: _mask_info(params, invert=True))
-    return tx
+        # (reference config.py:500-521); freezeD freezes the first N trunk
+        # blocks (reference misc.py:192-216)
+        if is_info and _is_info_path(path):
+            return False
+        for k in path:
+            key = str(getattr(k, "key", ""))
+            if key.split("_")[0] in freeze_blocks or key in freeze_blocks:
+                return False
+        return True
+
+    return _freeze_except(tx, keep)
 
 
 def build_info_optimizer(cfg) -> optax.GradientTransformation:
     """G-lr optimizer over the Q-heads living inside D params."""
     OPT = cfg.OPTIMIZATION
     tx = _base_tx(OPT, OPT.g_lr, OPT.g_betas, OPT.g_weight_decay)
-    return optax.masked(tx, lambda params: _mask_info(params, invert=False))
+    return _freeze_except(tx, _is_info_path)
+
+
+def _is_info_path(path) -> bool:
+    return any(getattr(k, "key", None) is not None
+               and str(getattr(k, "key")).startswith(("info_discrete", "info_conti"))
+               for k in path)
 
 
 def is_info_path(path: tuple) -> bool:
@@ -60,15 +96,3 @@ def is_info_path(path: tuple) -> bool:
                for k in path)
 
 
-def _mask_info(params, invert: bool):
-    import jax
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def mask_fn(path, _):
-        hit = any(
-            getattr(k, "key", None) is not None
-            and str(getattr(k, "key")).startswith(("info_discrete", "info_conti"))
-            for k in path)
-        return (not hit) if invert else hit
-
-    return jax.tree_util.tree_map_with_path(mask_fn, params)

@@ -1,0 +1,101 @@
+"""Native C++ runtime + Pallas kernel correctness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+class TestNativeRuntime:
+    def test_assemble_basket_matches_numpy(self):
+        from studiogan_tpu import runtime
+        if not runtime.native_available():
+            pytest.skip("no native toolchain")
+        imgs = np.random.RandomState(0).randint(0, 256, (16, 8, 8, 3),
+                                                dtype=np.uint8)
+        idx = np.array([5, 0, 9, 3], dtype=np.int64)
+        flips = np.array([0, 1, 0, 1], dtype=np.uint8)
+        out = runtime.assemble_basket(imgs, idx, flips)
+        ref = imgs[idx].astype(np.float32) / 127.5 - 1.0
+        ref[flips.astype(bool)] = ref[flips.astype(bool)][:, :, ::-1]
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_quantize_matches(self):
+        from studiogan_tpu import runtime
+        from studiogan_tpu.metrics.resize import quantize_images
+        if not runtime.native_available():
+            pytest.skip("no native toolchain")
+        x = np.random.RandomState(1).uniform(-1.2, 1.2, (4, 8, 8, 3)
+                                             ).astype(np.float32)
+        np.testing.assert_array_equal(runtime.quantize_images_native(x),
+                                      quantize_images(x))
+
+    def test_pipeline_uses_native_path(self):
+        from studiogan_tpu.data import BasketLoader, Dataset_
+        ds = Dataset_("SYNTHETIC", None, train=True, synthetic_size=64,
+                      num_classes=10, img_size=16)
+        loader = BasketLoader(ds, batch_size=8, basket_multiplier=2, seed=0)
+        x, labels = loader._make_basket()
+        assert x.shape == (2, 8, 16, 16, 3)
+        assert -1.0 <= x.min() and x.max() <= 1.0
+
+
+class TestPallasFilteredLrelu:
+    def test_fir_matrix_equals_ref_decomposition(self):
+        """The banded-matmul formulation == the ref upfirdn chain
+        (the Pallas kernel runs exactly these einsums)."""
+        import math
+        from studiogan_tpu.ops.filtered_lrelu import filtered_lrelu
+        from studiogan_tpu.ops.pallas.filtered_lrelu_kernel import _build_mats
+        from studiogan_tpu.ops.upfirdn2d import _parse_padding, setup_filter
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 12, 4))
+        b = jnp.arange(4.0) * 0.1
+        fu = setup_filter([1, 3, 3, 1], separable=True)
+        for (fd, down, pad, clamp) in [(fu, 2, 3, 5.0), (None, 1, (2, 3, 2, 3), None)]:
+            ref = filtered_lrelu(x, fu, fd, b, up=2, down=down, padding=pad,
+                                 clamp=clamp)
+            fu_t = tuple(np.asarray(fu, np.float64).tolist())
+            fd_t = tuple(np.asarray(fd, np.float64).tolist()) if fd is not None else ()
+            U_h, U_w, D_h, D_w = _build_mats(fu_t, fd_t, 12, 12, 2, down,
+                                             _parse_padding(pad), 4.0)
+            t = x + b[None, None, None, :]
+            t = jnp.einsum("oh,nhwc->nowc", jnp.asarray(U_h), t)
+            t = jnp.einsum("ow,nhwc->nhoc", jnp.asarray(U_w), t)
+            t = jnp.where(t >= 0, t, t * 0.2) * math.sqrt(2)
+            if clamp is not None:
+                t = jnp.clip(t, -clamp, clamp)
+            t = jnp.einsum("oh,nhwc->nowc", jnp.asarray(D_h), t)
+            t = jnp.einsum("ow,nhwc->nhoc", jnp.asarray(D_w), t)
+            assert ref.shape == t.shape
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(t),
+                                       atol=1e-4)
+
+    @pytest.mark.skipif(jax.default_backend() != "tpu",
+                        reason="compiled Pallas kernel needs TPU")
+    def test_pallas_call_on_tpu(self):
+        from studiogan_tpu.ops.filtered_lrelu import filtered_lrelu
+        from studiogan_tpu.ops.upfirdn2d import setup_filter
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 128))
+        b = jnp.zeros((128,))
+        f = setup_filter([1, 3, 3, 1], separable=True)
+        ref = filtered_lrelu(x, f, f, b, up=2, down=2, padding=3, clamp=256)
+        pal = filtered_lrelu(x, f, f, b, up=2, down=2, padding=3, clamp=256,
+                             impl="pallas")
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(pal),
+                                   atol=0.05)
+
+
+class TestPallasBiasAct:
+    @pytest.mark.skipif(jax.default_backend() != "tpu",
+                        reason="compiled Pallas kernel needs TPU")
+    def test_matches_ref(self):
+        from studiogan_tpu.ops.bias_act import bias_act
+        from studiogan_tpu.ops.pallas.bias_act_kernel import bias_act_pallas
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 256))
+        b = jnp.arange(256.0) * 0.01
+        for act in ("lrelu", "linear", "tanh", "swish"):
+            r = bias_act(x, b, act=act, clamp=3.0)
+            p = bias_act_pallas(x, b, act=act, clamp=3.0)
+            np.testing.assert_allclose(np.asarray(r), np.asarray(p),
+                                       atol=1e-5)
