@@ -21,6 +21,11 @@ extern "C" {
 void assemble_basket(const uint8_t* imgs, const int64_t* indices,
                      const uint8_t* flips, float* out, int64_t n,
                      int64_t h, int64_t w, int64_t c) {
+  // exact uint8 -> [-1,1] lookup (i/127.5 - 1, matching numpy semantics)
+  float lut[256];
+  for (int i = 0; i < 256; ++i) {
+    lut[i] = static_cast<float>(static_cast<double>(i) / 127.5 - 1.0);
+  }
   const int64_t hwc = h * w * c;
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
@@ -28,7 +33,7 @@ void assemble_basket(const uint8_t* imgs, const int64_t* indices,
     float* dst = out + i * hwc;
     if (!flips[i]) {
       for (int64_t j = 0; j < hwc; ++j) {
-        dst[j] = static_cast<float>(src[j]) * (1.0f / 127.5f) - 1.0f;
+        dst[j] = lut[src[j]];
       }
     } else {
       for (int64_t y = 0; y < h; ++y) {
@@ -38,7 +43,7 @@ void assemble_basket(const uint8_t* imgs, const int64_t* indices,
           const uint8_t* sp = srow + (w - 1 - x) * c;
           float* dp = drow + x * c;
           for (int64_t ch = 0; ch < c; ++ch) {
-            dp[ch] = static_cast<float>(sp[ch]) * (1.0f / 127.5f) - 1.0f;
+            dp[ch] = lut[sp[ch]];
           }
         }
       }
