@@ -223,6 +223,68 @@ def run(argv=None):
         loader.close()
 
     # ---- post-training actions (reference loader.py:437-512) ---------------
+    std_state = None
+    if cfg.RUN.standing_statistics:
+        logger.info("Accumulating standing BN statistics "
+                    "(max_batch=%d, steps=%d)", cfg.RUN.standing_max_batch,
+                    cfg.RUN.standing_step)
+        std_state = eng.prepare_standing_state(state, jax.random.PRNGKey(seed))
+
+    analyses_requested = any([
+        cfg.RUN.k_nearest_neighbor, cfg.RUN.interpolation,
+        cfg.RUN.frequency_analysis, cfg.RUN.tsne_analysis,
+        cfg.RUN.intra_class_fid, cfg.RUN.semantic_factorization,
+        cfg.RUN.GAN_train, cfg.RUN.GAN_test])
+    if analyses_requested:
+        from studiogan_tpu import analysis
+        fig_dir = cfg.RUN.save_dir
+        if cfg.RUN.interpolation:
+            for fix_z in (False, True):
+                p = analysis.run_linear_interpolation(
+                    eng, state, fig_dir, run_name, fix_z=fix_z)
+                logger.info("Interpolation canvas: %s", p)
+        if cfg.RUN.semantic_factorization:
+            ps = analysis.run_semantic_factorization(
+                eng, state, fig_dir, run_name,
+                num_semantic_axis=max(cfg.RUN.num_semantic_axis, 1),
+                maximum_variations=max(cfg.RUN.maximum_variations, 1.0))
+            logger.info("SeFa canvases: %d written", len(ps))
+        if cfg.RUN.frequency_analysis:
+            p = analysis.run_frequency_analysis(eng, state, train_ds,
+                                                fig_dir, run_name)
+            logger.info("Frequency analysis: %s", p)
+        if cfg.RUN.tsne_analysis:
+            p = analysis.run_tsne(eng, state, train_ds, fig_dir, run_name)
+            logger.info("t-SNE: %s", p)
+        if evaluator is not None and cfg.RUN.k_nearest_neighbor:
+            p = analysis.run_k_nearest_neighbor(
+                eng, state, evaluator.eval_model, train_ds, fig_dir, run_name)
+            logger.info("kNN canvas: %s", p)
+        if evaluator is not None and cfg.RUN.intra_class_fid:
+            ifids = analysis.calculate_intra_class_fid(
+                eng, state, evaluator.eval_model, train_ds, fig_dir)
+            logger.info("Intra-class FID: %s", json.dumps(
+                {str(k): round(v, 3) for k, v in ifids.items()}))
+        if cfg.RUN.GAN_train or cfg.RUN.GAN_test:
+            from studiogan_tpu.analysis.cas import compute_cas
+            setting = cfg.MISC.cas_setting.get(
+                cfg.DATA.name, cfg.MISC.cas_setting["CIFAR10"])
+            valid_ds = Dataset_(**{**ds_kwargs, "train": False})
+            cas = compute_cas(eng, state, train_ds, valid_ds, setting,
+                              GAN_train=cfg.RUN.GAN_train,
+                              GAN_test=cfg.RUN.GAN_test, logger=logger)
+            logger.info("CAS (%s): %s",
+                        "GAN_train" if cfg.RUN.GAN_train else "GAN_test",
+                        json.dumps(cas))
+
+    if cfg.RUN.save_real_images:
+        n = min(64, len(train_ds))
+        reals = np.stack([train_ds[i][0] for i in range(n)])
+        misc.save_images_png(
+            reals.astype(np.float32) / 127.5 - 1.0,
+            np.asarray([train_ds[i][1] for i in range(n)]),
+            os.path.join(cfg.RUN.save_dir, "samples", run_name),
+            is_generate=False)
     if cfg.RUN.save_fake_images:
         fakes, flabels = eng.generate(state, jax.random.PRNGKey(0),
                                       min(64, O.batch_size))
@@ -238,7 +300,8 @@ def run(argv=None):
     if evaluator is not None and not cfg.RUN.train and \
             "none" not in cfg.RUN.eval_metrics:
         for _ in range(cfg.RUN.num_eval):
-            scores = evaluator.evaluate(eng, state, cfg.RUN.eval_metrics)
+            scores = evaluator.evaluate(eng, state, cfg.RUN.eval_metrics,
+                                        override_g_state=std_state)
             logger.info("Eval: %s", json.dumps(scores))
     return state
 

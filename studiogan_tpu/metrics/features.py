@@ -15,13 +15,17 @@ import numpy as np
 
 def generate_images_and_stack_features(engine, state, eval_model,
                                        num_generate: int, batch_size: int,
-                                       rng, quantize: bool = True):
+                                       rng, quantize: bool = True,
+                                       override_g_state=None):
     """reference features.py:17-65: loop G -> backbone, stack feats/probs."""
     feats, probs, labels = [], [], []
     n_batches = math.ceil(num_generate / batch_size)
     for i in range(n_batches):
         rng, k = jax.random.split(rng)
-        imgs, labs = engine.generate(state, k, batch_size)
+        imgs, labs = engine.generate(
+            state, k, batch_size,
+            truncation_factor=engine.cfg.RUN.truncation_factor,
+            override_g_state=override_g_state)
         f, logit = eval_model.get_outputs(np.asarray(jax.device_get(imgs)),
                                           quantize=True)
         feats.append(f)

@@ -157,7 +157,7 @@ class Evaluator:
     # -- the evaluate() used by the train loop ------------------------------
 
     def evaluate(self, engine, state, metrics=("fid",), rng=None,
-                 splits: int = 1) -> dict:
+                 splits: int = 1, override_g_state=None) -> dict:
         metrics = [m for m in metrics if m != "none"]
         if not metrics:
             return {}
@@ -165,7 +165,8 @@ class Evaluator:
         rng = rng if rng is not None else jax.random.PRNGKey(int(state.step))
         fake_feats, fake_probs, _ = feats_mod.generate_images_and_stack_features(
             engine, state, self.eval_model, self.num_generate,
-            batch_size=min(self.cfg.OPTIMIZATION.batch_size, 256), rng=rng)
+            batch_size=min(self.cfg.OPTIMIZATION.batch_size, 256), rng=rng,
+            override_g_state=override_g_state)
         out = {}
         if "fid" in metrics:
             out["fid"] = fid_mod.calculate_fid(self._mu, self._sigma, fake_feats)
