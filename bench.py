@@ -23,11 +23,16 @@ BASELINE_STEPS_PER_SEC = 2.17
 
 
 def main():
+    import os
+
     from __graft_entry__ import _biggan_cfg
     from studiogan_tpu.models import build_discriminator, build_generator
     from studiogan_tpu.train import TrainEngine
 
     cfg = _biggan_cfg()  # real BigGAN-CIFAR10 scale, bs64, 5 D updates
+    # fp32 headline for apples-to-apples with the reference's fp32 runs;
+    # STUDIOGAN_BENCH_MPC=1 measures the bf16 policy (~1.4x faster)
+    cfg.RUN.mixed_precision = os.environ.get("STUDIOGAN_BENCH_MPC") == "1"
     O = cfg.OPTIMIZATION
     G, D = build_generator(cfg), build_discriminator(cfg)
     eng = TrainEngine(cfg, G, D)

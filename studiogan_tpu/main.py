@@ -84,6 +84,10 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--calc_is_ref_dataset", action="store_true")
     p.add_argument("--synthetic_data", action="store_true",
                    help="use a synthetic dataset (tests/benchmarks)")
+    p.add_argument("--profile", type=int, default=0,
+                   help="capture a jax profiler trace for N steps "
+                        "(written to SAVE_DIR/profile; the reference has no "
+                        "profiler — SURVEY.md §5)")
     return p
 
 
@@ -102,6 +106,11 @@ def run(argv=None):
     rt = setup_runtime(cfg.RUN.total_nodes, cfg.RUN.current_node)
     cfg.finalize(world_size=rt.num_devices)
     cfg.check_compatability()
+
+    if cfg.MODEL.backbone in ("stylegan2", "stylegan3"):
+        # the reference disables TF32 for stylegan (loader.py:82-86);
+        # the TPU analog is full-precision f32 matmuls/convs
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     seed = misc.fix_seed(cfg.RUN.seed)
     cfg.RUN.seed = seed
@@ -184,18 +193,34 @@ def run(argv=None):
         it = iter(loader)
         metrics = {}
         step0 = int(state.step)
+        profile_until = step0 + cfg.RUN.profile if cfg.RUN.profile else -1
+        if cfg.RUN.profile:
+            jax.profiler.start_trace(os.path.join(cfg.RUN.save_dir, "profile"))
+        last_log_t, last_log_step = time(), step0
         for _ in range(step0, O.total_steps):
             imgs, labels = next(it)
             gi, gl = put_basket(rt, imgs, labels)
             state, metrics = step_fn(state, gi, gl)
             cur = int(state.step)
+            if cur == profile_until:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                logger.info("Profiler trace written to %s",
+                            os.path.join(cfg.RUN.save_dir, "profile"))
             if cur % cfg.RUN.print_freq == 0:
                 m = jax.device_get(metrics)
+                now = time()
+                imgs_per_sec = ((cur - last_log_step) * O.batch_size
+                                * (O.d_updates_per_step * O.acml_steps)
+                                / max(now - last_log_t, 1e-9))
+                last_log_t, last_log_step = now, cur
                 logger.info(log_util.PROGRESS_FORMAT.format(
                     step=cur, progress=cur / O.total_steps,
                     elapsed=misc.elapsed_time(start),
-                    gen_loss=float(m["g_loss"]), dis_loss=float(m["d_loss"])))
-                stats.write(cur, **{k: v for k, v in m.items()})
+                    gen_loss=float(m["g_loss"]), dis_loss=float(m["d_loss"]))
+                    + f"Imgs/sec: {imgs_per_sec:,.0f}")
+                stats.write(cur, imgs_per_sec=imgs_per_sec,
+                            **{k: v for k, v in m.items()})
             if cur % cfg.RUN.save_freq == 0:
                 if cfg.RUN.vis_fake_images or True:
                     fakes, flabels = eng.generate(

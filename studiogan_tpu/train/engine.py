@@ -79,6 +79,10 @@ class TrainEngine:
         self.aa_kimg = A.ada_kimg if A.apply_ada else A.apa_kimg
         self.aa_interval = A.ada_interval if A.apply_ada else A.apa_interval
         self.effective_batch_size = O.batch_size * O.acml_steps
+        # bf16 compute policy (reference AMP, worker.py:175-176; no loss
+        # scaling needed on TPU).  StyleGAN uses its own per-resolution
+        # policy via num_fp16_res (models/stylegan2.py).
+        self.mpc = bool(cfg.RUN.mixed_precision) and not self.is_stylegan
 
     # -- module application helpers ---------------------------------------
 
@@ -140,6 +144,8 @@ class TrainEngine:
             trsp_cost = jnp.asarray(0.0)  # transport cost folded into latents
 
         mutable = self._g_mutable(g_state, update_g_state)
+        if self.mpc:
+            zs = zs.astype(jnp.bfloat16)
         # reference: stylegan w_avg EMA updates during the D-step generation
         # only (worker.py:254 stylegan_update_emas=True; :540 False)
         fakes, new_g_state = self._g_apply(
@@ -206,6 +212,9 @@ class TrainEngine:
         k_apa, k_aug_r, k_aug_f, k_prl_r, k_prl_f, k_gp = jax.random.split(rng, 6)
         fake_images, fake_labels = fakes["images"], fakes["labels"]
         fake_images = jax.lax.stop_gradient(fake_images)
+        if self.mpc:
+            real_images = real_images.astype(jnp.bfloat16)
+            fake_images = fake_images.astype(jnp.bfloat16)
 
         if self._blur_active:  # stylegan3-r fade-in blur (worker.py:264-272)
             real_images = self._blur_images(real_images, step)
