@@ -602,7 +602,9 @@ class TrainEngine:
     def train_step(self, state: GANTrainState, real_images: Array,
                    real_labels: Array):
         """One full reference 'step': d_updates x acml D passes + lazy regs
-        + ADA controller + g_updates x acml G passes + EMA + counters.
+        + ADA controller + g_updates x acml G passes + EMA + counters, in
+        the order given by OPTIMIZATION.d_first (worker dispatch,
+        reference loader.py:392-398).
 
         real_images: (d_updates*acml, B, H, W, C) basket; labels likewise.
         """
@@ -610,6 +612,31 @@ class TrainEngine:
         du, ac, B = O.d_updates_per_step, O.acml_steps, O.batch_size
         imgs = real_images.reshape(du, ac, B, *real_images.shape[2:])
         labs = real_labels.reshape(du, ac, B)
+
+        if O.d_first:
+            state, d_stats = self._d_phase(state, imgs, labs)
+            state, g_metrics = self._g_phase(state, imgs, labs)
+        else:
+            state, g_metrics = self._g_phase(state, imgs, labs)
+            state, d_stats = self._d_phase(state, imgs, labs)
+
+        # ---------------- counters ----------------
+        if self.Ls.apply_topk:
+            state = state.replace(topk=L.adjust_k(
+                state.topk, self.Ls.topk_gamma,
+                float(int(self.O.batch_size * self.Ls.topk_nu))))
+        state = state.replace(step=state.step + 1)
+
+        metrics = dict(
+            d_loss=d_stats["d_loss"], g_loss=g_metrics["g_loss"],
+            real_cond_loss=d_stats["real_cond_loss"], r1_penalty=d_stats["r1"],
+            ada_p=state.ada_p, topk=state.topk,
+        )
+        return state, metrics
+
+    def _d_phase(self, state: GANTrainState, imgs: Array, labs: Array):
+        O = self.O
+        du, ac, B = O.d_updates_per_step, O.acml_steps, O.batch_size
 
         # ---------------- D updates ----------------
         def d_update(carry, xs):
@@ -694,7 +721,10 @@ class TrainEngine:
             state = state.replace(
                 ada_p=jnp.where(do_adjust, new_p, state.ada_p),
                 ada_stats=jnp.where(do_adjust, jnp.zeros(2), state.ada_stats))
+        return state, d_stats
 
+    def _g_phase(self, state: GANTrainState, imgs: Array, labs: Array):
+        O, ac = self.O, self.O.acml_steps
         # ---------------- G updates ----------------
         g_metrics = dict(g_loss=jnp.asarray(0.0))
         real_micro = (imgs[0, 0], labs[0, 0])
@@ -761,20 +791,7 @@ class TrainEngine:
                                             decay),
                     g_ema_state=jax.tree.map(
                         lambda s: jnp.copy(s), state.g_state))
-
-        # ---------------- counters ----------------
-        if self.Ls.apply_topk:
-            state = state.replace(topk=L.adjust_k(
-                state.topk, self.Ls.topk_gamma,
-                float(int(self.O.batch_size * self.Ls.topk_nu))))
-        state = state.replace(step=state.step + 1)
-
-        metrics = dict(
-            d_loss=d_stats["d_loss"], g_loss=g_metrics["g_loss"],
-            real_cond_loss=d_stats["real_cond_loss"], r1_penalty=d_stats["r1"],
-            ada_p=state.ada_p, topk=state.topk,
-        )
-        return state, metrics
+        return state, g_metrics
 
     # -- inference ---------------------------------------------------------
 
