@@ -82,11 +82,49 @@ class LoadEvalModel:
                 return model.apply(variables, x)
 
             self._forward = forward
+        elif eval_backbone in ("ResNet50_torch", "SwAV_torch", "DINO_torch"):
+            from studiogan_tpu.metrics.backbones import (
+                DINOViTSmall, ResNet50, convert_resnet50_torch)
+            self.mean = np.array([0.485, 0.456, 0.406], np.float32)
+            self.std = np.array([0.229, 0.224, 0.225], np.float32)
+            if eval_backbone == "DINO_torch":
+                model = DINOViTSmall()
+                weight_names = ("dino_deitsmall8_pretrain_full_checkpoint.pth",
+                                "dino_vits8.pth")
+                converter = None  # converter lands with the weights drop
+            else:
+                model = ResNet50()
+                weight_names = ({"ResNet50_torch": ("resnet50-19c8e357.pth",
+                                                    "resnet50-0676ba61.pth"),
+                                 "SwAV_torch": ("swav_800ep_pretrain.pth.tar",)}
+                                [eval_backbone])
+                converter = convert_resnet50_torch
+            path = _find_weights(weight_names)
+            if path and converter is not None:
+                import torch
+                sd = torch.load(path, map_location="cpu", weights_only=True)
+                variables = converter({k: v.numpy() for k, v in sd.items()})
+            else:
+                warnings.warn(
+                    f"{eval_backbone} weights not found (no-egress "
+                    f"environment); using RANDOM weights — metric values are "
+                    f"NOT comparable. Set STUDIOGAN_WEIGHTS_DIR.")
+                self.random_weights = True
+                variables = model.init(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, self.res, self.res, 3)))
+            mean = jnp.asarray(self.mean)
+            std = jnp.asarray(self.std)
+
+            @jax.jit
+            def forward(x):  # x: NHWC float in [0,255]
+                x = (x / 255.0 - mean) / std
+                return model.apply(variables, x)
+
+            self._forward = forward
         else:
             raise NotImplementedError(
-                f"{eval_backbone}: pretrained weights unavailable in this "
-                f"no-egress environment (supported now: InceptionV3_tf; the "
-                f"torch-hub backbones land with a weights drop)")
+                f"{eval_backbone}: Swin-T_torch lands with its weights drop "
+                f"(no-egress environment)")
 
         self.resizer = resize_mod.build_resizer(post_resizer, eval_backbone,
                                                 self.res)
