@@ -121,10 +121,32 @@ class LoadEvalModel:
                 return model.apply(variables, x)
 
             self._forward = forward
+        elif eval_backbone == "Swin-T_torch":
+            from studiogan_tpu.metrics.swin import SwinTransformer
+            self.mean = np.array([0.485, 0.456, 0.406], np.float32)
+            self.std = np.array([0.229, 0.224, 0.225], np.float32)
+            model = SwinTransformer()
+            path = _find_weights(("swin_base_patch4_window7_224_22kto1k.pth",))
+            if path:
+                raise NotImplementedError(
+                    "Swin weight conversion lands with the weights drop")
+            warnings.warn(
+                "Swin weights not found (no-egress environment); using RANDOM "
+                "weights — metric values are NOT comparable.")
+            self.random_weights = True
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, self.res, self.res, 3)))
+            mean = jnp.asarray(self.mean)
+            std = jnp.asarray(self.std)
+
+            @jax.jit
+            def forward(x):
+                x = (x / 255.0 - mean) / std
+                return model.apply(variables, x)
+
+            self._forward = forward
         else:
-            raise NotImplementedError(
-                f"{eval_backbone}: Swin-T_torch lands with its weights drop "
-                f"(no-egress environment)")
+            raise NotImplementedError(eval_backbone)
 
         self.resizer = resize_mod.build_resizer(post_resizer, eval_backbone,
                                                 self.res)
