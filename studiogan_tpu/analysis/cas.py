@@ -81,8 +81,11 @@ def _accuracy(logits, labels, topk=(1, 5)):
 
 def compute_cas(engine, state, train_dataset, valid_dataset, setting: dict,
                 GAN_train: bool = False, GAN_test: bool = False,
-                epochs: int | None = None, rng=None, logger=None) -> dict:
-    """Train classifier per CAS protocol, return top1/top5."""
+                epochs: int | None = None, rng=None, logger=None,
+                ckpt_dir: str | None = None, resume: bool = False) -> dict:
+    """Train classifier per CAS protocol, return top1/top5.
+    ckpt_dir/resume: classifier checkpointing (reference ckpt.py:177-202,
+    'model=C-*-weights' and the -resume_ct flag)."""
     assert GAN_train != GAN_test
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     num_classes = engine.cfg.DATA.num_classes
@@ -99,6 +102,24 @@ def compute_cas(engine, state, train_dataset, valid_dataset, setting: dict,
         optax.sgd(setting["lr"], momentum=setting["momentum"]))
     opt_state = tx.init(params)
 
+    start_epoch = 0
+    c_path = None
+    if ckpt_dir is not None:
+        import os
+
+        import orbax.checkpoint as ocp
+        c_path = os.path.abspath(os.path.join(ckpt_dir, "model=C-current-weights"))
+        if resume and os.path.exists(c_path):
+            target = dict(params=jax.device_get(params),
+                          batch_stats=jax.device_get(bstats),
+                          opt_state=jax.device_get(opt_state),
+                          epoch=0)
+            restored = ocp.PyTreeCheckpointer().restore(c_path, item=target)
+            params, bstats = restored["params"], restored["batch_stats"]
+            opt_state, start_epoch = restored["opt_state"], int(restored["epoch"])
+            if logger:
+                logger.info("Resumed CAS classifier at epoch %d", start_epoch)
+
     @jax.jit
     def train_step(params, bstats, opt_state, imgs, labels):
         def loss_fn(p):
@@ -114,7 +135,7 @@ def compute_cas(engine, state, train_dataset, valid_dataset, setting: dict,
 
     n_train = len(train_dataset)
     steps_per_epoch = max(n_train // bs, 1)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         for step in range(steps_per_epoch):
             rng, k = jax.random.split(rng)
             if GAN_train:  # classifier trained on fakes
@@ -131,6 +152,13 @@ def compute_cas(engine, state, train_dataset, valid_dataset, setting: dict,
                 params, bstats, opt_state, imgs, labels)
         if logger:
             logger.info("CAS classifier epoch %d loss %.4f", epoch, float(loss))
+        if c_path is not None:
+            import orbax.checkpoint as ocp
+            ocp.PyTreeCheckpointer().save(
+                c_path, dict(params=jax.device_get(params),
+                             batch_stats=jax.device_get(bstats),
+                             opt_state=jax.device_get(opt_state),
+                             epoch=epoch + 1), force=True)
 
     # evaluation
     @jax.jit

@@ -120,7 +120,10 @@ def run(argv=None):
         cfg.DATA.name)
     misc.prepare_folder(cfg.MISC.base_folders, cfg.RUN.save_dir)
     logger = log_util.make_logger(cfg.RUN.save_dir, run_name)
-    stats = log_util.StatsWriter(cfg.RUN.save_dir, run_name)
+    stats = log_util.StatsWriter(
+        cfg.RUN.save_dir, run_name,
+        use_wandb=cfg.RUN.entity is not None or cfg.RUN.project is not None,
+        wandb_kwargs=dict(entity=cfg.RUN.entity, project=cfg.RUN.project))
     logger.info("Run name : %s", run_name)
     logger.info("Devices  : %d x %s", rt.num_devices, jax.devices()[0].platform)
 
@@ -246,6 +249,10 @@ def run(argv=None):
             seed=seed, run_name=run_name, best_fid=best_fid,
             best_step=best_step), when="current")
         loader.close()
+        curve = stats.plot_curves(os.path.join(
+            cfg.RUN.save_dir, "figures", run_name, "train_curves.png"))
+        if curve:
+            logger.info("Training curves: %s", curve)
 
     # ---- post-training actions (reference loader.py:437-512) ---------------
     std_state = None
@@ -297,7 +304,9 @@ def run(argv=None):
             valid_ds = Dataset_(**{**ds_kwargs, "train": False})
             cas = compute_cas(eng, state, train_ds, valid_ds, setting,
                               GAN_train=cfg.RUN.GAN_train,
-                              GAN_test=cfg.RUN.GAN_test, logger=logger)
+                              GAN_test=cfg.RUN.GAN_test, logger=logger,
+                              ckpt_dir=ckpt_dir,
+                              resume=cfg.RUN.resume_classifier_train)
             logger.info("CAS (%s): %s",
                         "GAN_train" if cfg.RUN.GAN_train else "GAN_test",
                         json.dumps(cas))

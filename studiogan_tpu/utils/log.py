@@ -42,12 +42,22 @@ PROGRESS_FORMAT = ("Step: {step:>6} Progress: {progress:<.3%} Elapsed: {elapsed}
 
 class StatsWriter:
     """Append-style run statistics (reference misc.py:558-580 .npy dumps)
-    as JSONL under SAVE_DIR/statistics/{run_name}/."""
+    as JSONL under SAVE_DIR/statistics/{run_name}/, with optional wandb
+    mirroring (reference worker.py:180-184, 706-753)."""
 
-    def __init__(self, save_dir: str, run_name: str):
+    def __init__(self, save_dir: str, run_name: str, use_wandb: bool = False,
+                 wandb_kwargs: dict | None = None):
         self.dir = os.path.join(save_dir, "statistics", run_name)
         os.makedirs(self.dir, exist_ok=True)
         self.path = os.path.join(self.dir, "train_stats.jsonl")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(name=run_name, **(wandb_kwargs or {}))
+            except ImportError:
+                pass
 
     def write(self, step: int, **metrics):
         rec = {"step": step}
@@ -58,3 +68,35 @@ class StatsWriter:
                 rec[k] = str(v)
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in rec.items() if k != "step"},
+                            step=step)
+
+    def plot_curves(self, out_path: str) -> str | None:
+        """Loss/metric curves from the JSONL log (reference misc.py:419-480
+        figure PNGs)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return None
+        if not os.path.exists(self.path):
+            return None
+        recs = [json.loads(line) for line in open(self.path)]
+        if not recs:
+            return None
+        keys = [k for k in recs[0] if k != "step"
+                and isinstance(recs[0][k], (int, float))]
+        steps = [r["step"] for r in recs]
+        fig, ax = plt.subplots(figsize=(8, 5))
+        for k in keys[:6]:
+            vals = [r.get(k) for r in recs]
+            if any(v is not None for v in vals):
+                ax.plot(steps, vals, label=k)
+        ax.set_xlabel("step")
+        ax.legend()
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        fig.savefig(out_path)
+        plt.close(fig)
+        return out_path
