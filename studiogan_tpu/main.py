@@ -169,12 +169,42 @@ def run(argv=None):
     os.makedirs(ckpt_dir, exist_ok=True)
     best_fid, best_step = None, 0
     if cfg.RUN.ckpt_dir:
+        import glob as _glob
         path = ckpt_util.find_ckpt(cfg.RUN.ckpt_dir, cfg.RUN.load_best)
         if path:
             state, meta = ckpt_util.load_ckpt(path, state)
             best_fid = meta.get("best_fid")
             best_step = meta.get("best_step", 0)
             logger.info("Resumed from %s at step %d", path, int(state.step))
+        elif _glob.glob(os.path.join(cfg.RUN.ckpt_dir, "model=G-*.pth")):
+            # a reference PyTorch-StudioGAN checkpoint directory: convert
+            import jax.numpy as jnp
+            from studiogan_tpu.train.convert import load_reference_checkpoint
+            ref = load_reference_checkpoint(cfg.RUN.ckpt_dir, cfg,
+                                            cfg.RUN.load_best)
+            if "g" in ref:
+                state = state.replace(g_params=ref["g"]["params"],
+                                      g_state={k: v for k, v in ref["g"].items()
+                                               if k != "params"})
+            if "d" in ref:
+                state = state.replace(d_params=ref["d"]["params"],
+                                      d_state={k: v for k, v in ref["d"].items()
+                                               if k != "params"})
+            if "g_ema" in ref and cfg.MODEL.apply_g_ema:
+                state = state.replace(
+                    g_ema_params=ref["g_ema"]["params"],
+                    g_ema_state={k: v for k, v in ref["g_ema"].items()
+                                 if k != "params"})
+            meta = ref.get("metadata", {})
+            if meta.get("step"):
+                state = state.replace(
+                    step=jnp.asarray(int(meta["step"]), jnp.int32))
+            logger.info("Converted reference checkpoint from %s (step %s); "
+                        "optimizer state reinitialized%s",
+                        cfg.RUN.ckpt_dir, meta.get("step"),
+                        "; missing: " + str(ref.get("g_missing", []) +
+                                            ref.get("d_missing", []))[:500]
+                        if ref.get("g_missing") or ref.get("d_missing") else "")
 
     state = jax.device_put(state, rt.replicated)
     step_fn = jax.jit(eng.train_step, donate_argnums=0,
