@@ -46,15 +46,23 @@ def main():
 
     step = jax.jit(eng.train_step, donate_argnums=0)
 
+    def sync(metrics, st):
+        # force a device->host VALUE fetch: on tunneled platforms (axon)
+        # block_until_ready returns before execution completes, so timing
+        # must gate on actual data (measured: 474 "steps/s" without the
+        # fetch vs 3.5 real steps/s)
+        return float(metrics["d_loss"]) + float(
+            jax.tree.leaves(st.g_params)[0].ravel()[0])
+
     # warmup / compile
     state, m = step(state, imgs, labels)
-    jax.block_until_ready(m)
+    sync(m, state)
 
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = step(state, imgs, labels)
-    jax.block_until_ready(m)
+    sync(m, state)
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_steps / dt

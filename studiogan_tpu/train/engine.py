@@ -793,6 +793,22 @@ class TrainEngine:
                         lambda s: jnp.copy(s), state.g_state))
         return state, g_metrics
 
+    def train_steps(self, state: GANTrainState, basket_imgs: Array,
+                    basket_labs: Array):
+        """Scan train_step over a chunk of steps: one device dispatch per
+        chunk instead of per step (the reference pays a full Python
+        worker-loop round trip per step, loader.py:392-398).
+
+        basket_imgs: (n_steps, d_updates*acml, B, H, W, C)."""
+        def body(st, xs):
+            imgs, labs = xs
+            st, metrics = self.train_step(st, imgs, labs)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, (basket_imgs, basket_labs))
+        last = jax.tree.map(lambda m: m[-1], metrics)
+        return state, last
+
     # -- inference ---------------------------------------------------------
 
     def generate(self, state: GANTrainState, rng: Array, batch_size: int,
