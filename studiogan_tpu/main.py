@@ -361,6 +361,10 @@ def run(argv=None):
         misc.save_image_grid(np.asarray(jax.device_get(fakes)),
                              os.path.join(cfg.RUN.save_dir, "figures", run_name,
                                           "generated_canvas.png"))
+    if evaluator is not None and cfg.RUN.calc_is_ref_dataset:
+        score, std = evaluator.ref_dataset_is()
+        logger.info("IS of %s dataset: %.4f +- %.4f",
+                    cfg.RUN.ref_dataset, score, std)
     if evaluator is not None and not cfg.RUN.train and \
             "none" not in cfg.RUN.eval_metrics:
         for _ in range(cfg.RUN.num_eval):

@@ -216,6 +216,14 @@ class Evaluator:
 
     # -- the evaluate() used by the train loop ------------------------------
 
+    def ref_dataset_is(self, splits: int = 1) -> tuple[float, float]:
+        """IS of the reference dataset itself (reference
+        preparation.py:191-213 calculate_ins, --calc_is_ref_dataset)."""
+        self.prepare_real_statistics()
+        score, std, _, _ = ins_mod.eval_features(self._real_probs, None,
+                                                 splits=splits)
+        return score, std
+
     def evaluate(self, engine, state, metrics=("fid",), rng=None,
                  splits: int = 1, override_g_state=None) -> dict:
         metrics = [m for m in metrics if m != "none"]
