@@ -17,7 +17,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: full-train-step XLA compiles are minutes on CPU;
-# cache them across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/studiogan_jax_cache")
+# cache them across pytest runs.  Lives inside the repo (gitignored) so it
+# survives environment /tmp resets across build rounds.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
