@@ -83,6 +83,13 @@ class TrainEngine:
         # scaling needed on TPU).  StyleGAN uses its own per-resolution
         # policy via num_fp16_res (models/stylegan2.py).
         self.mpc = bool(cfg.RUN.mixed_precision) and not self.is_stylegan
+        # fuse D(real)/D(fake) into one batched call when D computes no
+        # batch statistics (SN discriminators; stylegan's mbstd layer and
+        # BN-Ds would mix real/fake stats) and ADC's label doubling
+        # doesn't differ between the halves.  SN u/v then advance once per
+        # micro-batch instead of twice (torch's hook fires per call).
+        self._can_batch_d_calls = (M.apply_d_sn and not self.is_stylegan
+                                   and M.aux_cls_type != "ADC")
 
     # -- module application helpers ---------------------------------------
 
@@ -230,10 +237,27 @@ class TrainEngine:
         fake_aug = series(k_aug_f, fake_images)
 
         mut = tuple(d_state.keys())
-        real_dict, d_state1 = self._d_apply(d_params, d_state, real_aug,
-                                            real_labels, mutable=mut)
-        fake_dict, d_state2 = self._d_apply(d_params, d_state1, fake_aug,
-                                            fake_labels, adc_fake=True, mutable=mut)
+        if self._can_batch_d_calls:
+            # SN-only D (no BN): one batched D call over [real; fake] —
+            # same math as the reference's two calls (worker.py:281-282)
+            # but twice the batch on the MXU. (Disabled for BN-Ds, where
+            # batch statistics would mix, and for ADC's label doubling.)
+            both, d_state2 = self._d_apply(
+                d_params, d_state,
+                jnp.concatenate([real_aug, fake_aug], axis=0),
+                jnp.concatenate([real_labels, fake_labels], axis=0),
+                mutable=mut)
+            n = real_aug.shape[0]
+            real_dict = {k: (v[:n] if isinstance(v, jnp.ndarray) else v)
+                         for k, v in both.items()}
+            fake_dict = {k: (v[n:] if isinstance(v, jnp.ndarray) else v)
+                         for k, v in both.items()}
+        else:
+            real_dict, d_state1 = self._d_apply(d_params, d_state, real_aug,
+                                                real_labels, mutable=mut)
+            fake_dict, d_state2 = self._d_apply(d_params, d_state1, fake_aug,
+                                                fake_labels, adc_fake=True,
+                                                mutable=mut)
 
         if self.mh:
             loss = L.crammer_singer_loss(real_dict["adv_output"], real_labels)
