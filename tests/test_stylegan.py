@@ -91,6 +91,33 @@ class TestStyleGAN2Engine:
         assert not np.allclose(np.asarray(imgs_full), np.asarray(imgs_trunc))
 
 
+class TestStyleGAN2SPMD:
+    def test_mesh_train_step(self):
+        """StyleGAN engine (lazy R1/PL, w_avg EMA, SPD projection) under a
+        batch-sharded 8-device mesh."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        cfg = sg2_cfg()
+        G, D = small_modules(cfg)
+        eng = TrainEngine(cfg, G, D)
+        state = eng.init_state(jax.random.PRNGKey(0))
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        repl = NamedSharding(mesh, P())
+        basket = NamedSharding(mesh, P(None, "data"))
+        state = jax.device_put(state, repl)
+        rng = np.random.RandomState(0)
+        imgs = jax.device_put(
+            jnp.asarray(rng.uniform(-1, 1, (1, 8, 32, 32, 3)), jnp.float32),
+            basket)
+        labels = jax.device_put(
+            jnp.asarray(rng.randint(0, 10, (1, 8)), jnp.int32), basket)
+        step = jax.jit(eng.train_step, in_shardings=(repl, basket, basket),
+                       out_shardings=(repl, repl))
+        state, m = step(state, imgs, labels)
+        assert int(state.step) == 1
+        assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+
+
 class TestStyleGANPieces:
     def test_mbstd_shapes(self):
         m = stylegan2.MinibatchStdLayer(group_size=4)
