@@ -470,8 +470,136 @@ class Configurations:
         if M.apply_g_ema and M.backbone not in STYLEGAN_BACKBONES:
             err(M.g_ema_decay != NA and M.g_ema_start != NA,
                 "g_ema requires g_ema_decay and g_ema_start.")
+            err(S.g_ema_kimg == NA and S.g_ema_rampup == NA,
+                "g_ema_kimg/g_ema_rampup are stylegan-only hyperparameters.")
         if M.backbone in STYLEGAN_BACKBONES and M.apply_g_ema:
             err(S.g_ema_kimg != NA, "stylegan g_ema requires g_ema_kimg.")
+            err(M.g_ema_decay == NA and M.g_ema_start == NA,
+                "stylegan g_ema uses STYLEGAN.g_ema_kimg/g_ema_rampup, not "
+                "MODEL.g_ema_decay/g_ema_start.")
+
+        # ---- remaining reference contract (config.py:630-876); each check
+        # maps to a reference assert — see PARITY.md for the full audit -----
+        err(not (R.langevin_sampling and L.apply_lo),
+            "Langevin sampling and latent optimization cannot be used "
+            "simultaneously.")
+        if M.g_depth != NA or M.d_depth != NA:
+            err(M.backbone in ("big_resnet_deep_legacy",
+                               "big_resnet_deep_studiogan"),
+                "g_depth/d_depth are hyperparameters for the big_resnet_deep "
+                "backbones.")
+        if M.backbone in ("big_resnet_deep_legacy", "big_resnet_deep_studiogan"):
+            err(bool(M.g_cond_mtd) and bool(M.d_cond_mtd),
+                "big_resnet_deep backbones require g_cond_mtd and d_cond_mtd.")
+        if R.langevin_sampling:
+            err(R.vis_fake_images + R.k_nearest_neighbor + R.interpolation
+                + R.frequency_analysis + R.tsne_analysis + R.intra_class_fid
+                + R.semantic_factorization + R.GAN_train + R.GAN_test != 0,
+                "Langevin sampling cannot be used for training only.")
+        if not R.train and R.eval_metrics and "none" not in R.eval_metrics:
+            err(R.ckpt_dir is not None,
+                "Specify -ckpt CHECKPOINT_FOLDER to evaluate a GAN without "
+                "training.")
+        if R.intra_class_fid:
+            err(bool(R.load_data_in_memory * R.load_train_hdf5)
+                or not R.load_train_hdf5,
+                "iFID with hdf5 requires load_data_in_memory.")
+        if (R.vis_fake_images + R.k_nearest_neighbor + R.interpolation
+                + R.intra_class_fid + R.GAN_train + R.GAN_test) >= 1:
+            err(O.batch_size % 8 == 0, "batch_size should be divisible by 8.")
+        if M.d_cond_mtd == "MH" or L.adv_loss == "MH":
+            err(not L.apply_topk, "Top-k training is not supported for MHGAN.")
+        if O.world_size > 1 and R.synchronized_bn:
+            err(not R.batch_statistics,
+                "batch_statistics cannot be used with synchronized_bn.")
+        if D.name in ("CIFAR10", "CIFAR100"):
+            err(R.ref_dataset in ("train", "test"),
+                "CIFAR has no validation split; ref_dataset must be train or "
+                "test.")
+        if R.interpolation:
+            err(M.backbone in ("big_resnet", "big_resnet_deep_legacy",
+                               "big_resnet_deep_studiogan"),
+                "interpolation analysis supports the big_resnet family only.")
+        if R.semantic_factorization:
+            err(R.num_semantic_axis > 0,
+                "SeFa requires num_semantic_axis > 0.")
+        if M.backbone in STYLEGAN_BACKBONES:
+            err(not M.apply_g_sn and not M.apply_d_sn,
+                "spectral normalization is not supported on stylegan "
+                "backbones.")
+            err(not M.apply_attn,
+                "attention layers cannot be applied to the stylegan "
+                "backbones.")
+            if L.apply_r1_reg:
+                err(L.r1_place in ("inside_loop", "outside_loop"),
+                    "LOSS.r1_place should be inside_loop or outside_loop.")
+            if S.d_epilogue_mbstd_group_size != NA:
+                err(S.d_epilogue_mbstd_group_size
+                    <= O.batch_size / max(O.world_size, 1),
+                    "per-device batch must be >= d_epilogue_mbstd_group_size.")
+            # the reference's stylegan unsupported-options sum (-1 == freezeD
+            # default); interpolation is big_resnet-only, sefa/langevin etc.
+            err(L.apply_fm + L.apply_gp + L.apply_dra + L.apply_maxgp
+                + L.apply_zcr + L.apply_lo + R.synchronized_bn
+                + R.batch_statistics + R.standing_statistics + R.freezeD
+                + R.langevin_sampling + R.interpolation
+                + R.semantic_factorization == -1,
+                "fm/gp/dra/maxgp/zcr/lo/sync_bn/batch_stat/standing_stat/"
+                "freezeD/langevin/interpolation/sefa are not supported for "
+                "stylegan backbones.")
+        else:
+            err(M.g_act_fn != "Auto" and M.d_act_fn != "Auto",
+                "act_fn 'Auto' is only defined for stylegan backbones.")
+        if M.backbone == "stylegan3" and S.stylegan3_cfg == "stylegan3-r":
+            err(S.blur_init_sigma != NA,
+                "stylegan3-r requires blur_init_sigma.")
+        if M.g_shared_dim != NA:
+            err(M.backbone in ("big_resnet", "big_resnet_deep_legacy",
+                               "big_resnet_deep_studiogan"),
+                "hierarchical (shared) embedding is big_resnet-family only.")
+        if R.GAN_train or R.GAN_test:
+            err(M.d_cond_mtd != "W/O",
+                "CAS is defined only for class-conditional GANs.")
+        if M.info_type == NA:
+            err(M.info_num_discrete_c == NA and M.info_num_conti_c == NA
+                and M.info_dim_discrete_c == NA and M.g_info_injection == NA
+                and L.infoGAN_loss_discrete_lambda == NA
+                and L.infoGAN_loss_conti_lambda == NA,
+                "info_* fields must be N/A when info_type is N/A.")
+        if M.info_type in ("discrete", "both"):
+            err(M.info_num_discrete_c != NA and M.info_num_discrete_c > 0
+                and M.info_dim_discrete_c != NA and M.info_dim_discrete_c > 0,
+                "info_num_discrete_c and info_dim_discrete_c must be > 0.")
+            err(L.infoGAN_loss_discrete_lambda != NA,
+                "discrete InfoGAN requires infoGAN_loss_discrete_lambda.")
+        if M.info_type in ("continuous", "both"):
+            err(M.info_num_conti_c != NA and M.info_num_conti_c > 0,
+                "info_num_conti_c must be > 0.")
+            err(L.infoGAN_loss_conti_lambda != NA,
+                "continuous InfoGAN requires infoGAN_loss_conti_lambda.")
+        if M.info_type != NA and M.backbone in STYLEGAN_BACKBONES:
+            err(M.g_info_injection == "concat",
+                "stylegan backbones only allow concat g_info_injection.")
+        err(R.eval_backbone in ("InceptionV3_tf", "InceptionV3_torch",
+                                "ResNet50_torch", "SwAV_torch", "DINO_torch",
+                                "Swin-T_torch"),
+            "eval_backbone should be one of InceptionV3_tf/InceptionV3_torch/"
+            "ResNet50_torch/SwAV_torch/DINO_torch/Swin-T_torch.")
+        err(R.post_resizer in ("legacy", "clean", "friendly"),
+            "post_resizer should be legacy, clean or friendly.")
+        err(R.pre_resizer in ("wo_resize", "nearest", "bilinear", "bicubic",
+                              "lanczos"),
+            "pre_resizer should be one of wo_resize/nearest/bilinear/bicubic/"
+            "lanczos.")
+        err(not (R.batch_statistics and R.standing_statistics),
+            "batch_statistics and standing_statistics cannot be used "
+            "together.")
+        err(not (L.apply_cr and L.apply_zcr),
+            "CR and zCR (ICR) cannot be applied together.")
+        err(not (L.apply_gp and L.apply_dra and L.apply_maxgp),
+            "GP, DRA and MaxGP cannot all be applied simultaneously.")
+        err(R.save_freq % R.print_freq == 0,
+            "save_freq should be divisible by print_freq.")
         err.raise_all()
 
     # -- serialization -------------------------------------------------------

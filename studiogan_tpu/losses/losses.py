@@ -263,22 +263,31 @@ def adjust_k(current_k: Array, topk_gamma: float, inf_k: float) -> Array:
 
 def latent_optimise(zs: Array, fake_labels: Array, g_d_adv_fn: Callable,
                     rng: Array, lo_rate: float, lo_steps: int, lo_alpha: float,
-                    lo_beta: float) -> Array:
+                    lo_beta: float) -> tuple[Array, Array]:
     """LOGAN latent optimisation (reference losses.py:278-298).
 
     g_d_adv_fn: (zs, labels) -> adv logits of D(G(z)).  The reference's
     loop body contains an early ``return`` making it single-step; we run
-    the documented ``lo_steps - 1`` iterations."""
+    the documented ``lo_steps - 1`` iterations.
+
+    Returns ``(zs, trsp_cost)`` where trsp_cost accumulates the per-step
+    transport cost ``mean(||delta_z||_2^2)`` (reference losses.py:291-296;
+    fed as ``lo_lambda * trsp_cost`` into both D and G losses,
+    worker.py:323,628).  The reference computes it from the *unmasked*
+    delta_z; we match."""
     def body(i, carry):
-        z, key = carry
+        z, key, cost = carry
         key, k1 = jax.random.split(key)
         drop_mask = (jax.random.uniform(k1, (z.shape[0], 1)) > 1 - lo_rate
                      ).astype(z.dtype)
         z_grads = jax.grad(lambda zz: g_d_adv_fn(zz, fake_labels).sum())(z)
         z_grads_norm = jnp.sum(z_grads ** 2, axis=1, keepdims=True)
         delta_z = lo_alpha * z_grads / (lo_beta + z_grads_norm)
+        cost = cost + jnp.mean(jnp.sum(delta_z.astype(jnp.float32) ** 2,
+                                       axis=1))
         z = jnp.clip(z + drop_mask * delta_z, -1.0, 1.0)
-        return z, key
+        return z, key, cost
 
-    zs, _ = jax.lax.fori_loop(0, max(lo_steps - 1, 0), body, (zs, rng))
-    return zs
+    zs, _, trsp_cost = jax.lax.fori_loop(
+        0, max(lo_steps - 1, 0), body, (zs, rng, jnp.asarray(0.0)))
+    return zs, trsp_cost

@@ -216,7 +216,9 @@ def run(argv=None):
         try:
             from studiogan_tpu.metrics import Evaluator
             evaluator = Evaluator(cfg, rt, eval_dataset_kwargs=ds_kwargs)
-        except Exception as e:  # pretrained backbone weights unavailable
+        except (NotImplementedError, FileNotFoundError) as e:
+            # only the expected "backbone/weights unavailable" failures are
+            # tolerated; genuine bugs in the metrics stack must propagate
             logger.warning("Evaluation disabled: %s", e)
 
     # ---- train loop (reference loader.py:386-432) ---------------------------
@@ -255,7 +257,7 @@ def run(argv=None):
                 stats.write(cur, imgs_per_sec=imgs_per_sec,
                             **{k: v for k, v in m.items()})
             if cur % cfg.RUN.save_freq == 0:
-                if cfg.RUN.vis_fake_images or True:
+                if cfg.RUN.vis_fake_images:
                     fakes, flabels = eng.generate(
                         state, jax.random.PRNGKey(cur), min(64, O.batch_size))
                     misc.save_image_grid(

@@ -126,7 +126,7 @@ class ViTBlock(nn.Module):
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact erf
         h = nn.Dense(self.dim, name="mlp_fc2")(h)
         return x + h
 
@@ -164,3 +164,90 @@ class DINOViTSmall(nn.Module):
         feats = jnp.concatenate(cls_tokens, axis=-1)
         logits = nn.Dense(self.num_classes, name="linear")(feats)
         return feats, logits
+
+
+def convert_dino_vits(trunk_sd: dict, linear_sd: dict | None = None,
+                      dim: int = 384, num_heads: int = 6,
+                      feat_dim: int = 1536, num_classes: int = 1000) -> dict:
+    """DINO ViT-S checkpoint (dino_deitsmall8_pretrain.pth naming:
+    cls_token / pos_embed / patch_embed.proj / blocks.{i}.{norm1,attn.qkv,
+    attn.proj,norm2,mlp.fc1,mlp.fc2} / norm) + the separate linear-eval
+    head (dino_deitsmall8_linearweights.pth, ``module.linear.*``) ->
+    DINOViTSmall flax variables (reference misc.py:632-691,
+    preparation.py:70-75).
+
+    Fused torch qkv (3*dim, dim) splits into flax MultiHeadDotProductAttention
+    query/key/value kernels of shape (dim, heads, head_dim); attn.proj maps to
+    the ``out`` kernel (heads, head_dim, dim).
+    """
+    hd = dim // num_heads
+    sd = {k.replace("module.", "").replace("backbone.", ""): np.asarray(v)
+          for k, v in trunk_sd.items()}
+    params: dict = {"cls_token": sd["cls_token"].reshape(1, 1, dim),
+                    "pos_embed": sd["pos_embed"],
+                    "patch_embed": {
+                        "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+                        "bias": sd["patch_embed.proj.bias"]},
+                    "norm": {"scale": sd["norm.weight"],
+                             "bias": sd["norm.bias"]}}
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        p = f"blocks.{i}."
+        qkv_w = sd[p + "attn.qkv.weight"]          # (3*dim, dim)
+        qkv_b = sd[p + "attn.qkv.bias"]
+        q_w, k_w, v_w = np.split(qkv_w, 3, axis=0)
+        q_b, k_b, v_b = np.split(qkv_b, 3, axis=0)
+
+        def _in(w, b):  # torch (out,in) -> flax (in, heads, head_dim)
+            return {"kernel": w.T.reshape(dim, num_heads, hd),
+                    "bias": b.reshape(num_heads, hd)}
+
+        params[f"block{i}"] = {
+            "norm1": {"scale": sd[p + "norm1.weight"],
+                      "bias": sd[p + "norm1.bias"]},
+            "attn": {"query": _in(q_w, q_b), "key": _in(k_w, k_b),
+                     "value": _in(v_w, v_b),
+                     "out": {"kernel": sd[p + "attn.proj.weight"].T.reshape(
+                         num_heads, hd, dim),
+                             "bias": sd[p + "attn.proj.bias"]}},
+            "norm2": {"scale": sd[p + "norm2.weight"],
+                      "bias": sd[p + "norm2.bias"]},
+            "mlp_fc1": {"kernel": sd[p + "mlp.fc1.weight"].T,
+                        "bias": sd[p + "mlp.fc1.bias"]},
+            "mlp_fc2": {"kernel": sd[p + "mlp.fc2.weight"].T,
+                        "bias": sd[p + "mlp.fc2.bias"]},
+        }
+        i += 1
+
+    if linear_sd is not None:
+        lin = {k.replace("module.linear.", "").replace("linear.", ""):
+               np.asarray(v) for k, v in linear_sd.items()}
+        params["linear"] = {"kernel": lin["weight"].T, "bias": lin["bias"]}
+    else:
+        params["linear"] = {
+            "kernel": np.zeros((feat_dim, num_classes), np.float32),
+            "bias": np.zeros((num_classes,), np.float32)}
+    return {"params": params}
+
+
+def convert_swav_resnet50(trunk_sd: dict, linear_sd: dict | None = None) -> dict:
+    """SwAV checkpoint (swav_800ep_pretrain.pth.tar: torchvision resnet50
+    trunk under ``module.`` prefixes, plus projection_head/prototypes which
+    are dropped) + the separate linear classifier
+    (``module.linear.*``) -> ResNet50 flax variables
+    (reference preparation.py:54-65: hub resnet50 + SWAV_CLASSIFIER_URL fc).
+    """
+    sd = {}
+    for k, v in trunk_sd.items():
+        k = k.replace("module.", "")
+        if k.startswith(("projection_head", "prototypes")):
+            continue
+        sd[k] = np.asarray(v)
+    if linear_sd is not None:
+        lin = {k.replace("module.linear.", "").replace("linear.", ""):
+               np.asarray(v) for k, v in linear_sd.items()}
+        sd["fc.weight"], sd["fc.bias"] = lin["weight"], lin["bias"]
+    else:
+        sd.setdefault("fc.weight", np.zeros((1000, 2048), np.float32))
+        sd.setdefault("fc.bias", np.zeros((1000,), np.float32))
+    return convert_resnet50_torch(sd)

@@ -27,7 +27,7 @@ def generate_images_and_stack_features(engine, state, eval_model,
             truncation_factor=engine.cfg.RUN.truncation_factor,
             override_g_state=override_g_state)
         f, logit = eval_model.get_outputs(np.asarray(jax.device_get(imgs)),
-                                          quantize=True)
+                                          quantize=quantize)
         feats.append(f)
         probs.append(_softmax(logit))
         labels.append(np.asarray(jax.device_get(labs)))

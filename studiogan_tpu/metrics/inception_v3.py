@@ -44,10 +44,11 @@ class BasicConv2d(nn.Module):
         return jax.nn.relu(x)
 
 
-def _avg_pool_nocountpad(x: Array) -> Array:
-    """3x3 stride-1 avg pool, pad 1, count_include_pad=False."""
+def _avg_pool3x3(x: Array, count_include_pad: bool) -> Array:
+    """3x3 stride-1 avg pool, pad 1.  count_include_pad=False is the FID
+    patch; torchvision's stock blocks use the torch default (True)."""
     return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                       count_include_pad=False)
+                       count_include_pad=count_include_pad)
 
 
 def _max_pool(x: Array, k=3, s=2, p=0) -> Array:
@@ -56,6 +57,7 @@ def _max_pool(x: Array, k=3, s=2, p=0) -> Array:
 
 class InceptionA(nn.Module):
     pool_features: int
+    count_include_pad: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -65,7 +67,7 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
         b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
-        bp = _avg_pool_nocountpad(x)
+        bp = _avg_pool3x3(x, self.count_include_pad)
         bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -83,6 +85,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    count_include_pad: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -96,7 +99,7 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
         bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
         bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
-        bp = _avg_pool_nocountpad(x)
+        bp = _avg_pool3x3(x, self.count_include_pad)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -115,7 +118,9 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
-    pool_mode: str = "avg"  # 'avg' (Mixed_7b, FID no-count-pad) | 'max' (Mixed_7c)
+    # 'avg' (Mixed_7b, FID no-count-pad) | 'max' (FID Mixed_7c) |
+    # 'avg_tv' (torchvision stock: count_include_pad=True)
+    pool_mode: str = "avg"
 
     @nn.compact
     def __call__(self, x):
@@ -132,7 +137,9 @@ class InceptionE(nn.Module):
             BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd),
         ], axis=-1)
         if self.pool_mode == "avg":
-            bp = _avg_pool_nocountpad(x)
+            bp = _avg_pool3x3(x, count_include_pad=False)
+        elif self.pool_mode == "avg_tv":
+            bp = _avg_pool3x3(x, count_include_pad=True)
         else:
             bp = _max_pool(x, k=3, s=1, p=1)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
@@ -142,11 +149,26 @@ class InceptionE(nn.Module):
 class InceptionV3(nn.Module):
     """Input: NHWC float in [-1, 1] at 299x299 (the LoadEvalModel
     normalization, reference preparation.py:52-53 + ops.py:258-263).
-    Output: (features[N,2048], logits[N,1008])."""
+    Output: (features[N,2048], logits[N,1008]).
+
+    variant="fid" (default) is the pytorch-fid TF port (patched pools,
+    1008-way fc; reference inception_net.py:135-218).  variant="torchvision"
+    is stock torchvision inception_v3 for the ``InceptionV3_torch``
+    backbone (count-pad avg pools everywhere, avg-pool Mixed_7c, 1000-way
+    fc, and the pretrained transform_input remap from ImageNet
+    normalization; reference preparation.py:54-69)."""
     num_classes: int = 1008
+    variant: str = "fid"
+    transform_input: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> tuple[Array, Array]:
+        tv = self.variant == "torchvision"
+        if self.transform_input:  # torchvision pretrained-model input remap
+            x = jnp.stack([x[..., 0] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5,
+                           x[..., 1] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5,
+                           x[..., 2] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5],
+                          axis=-1)
         x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
@@ -154,17 +176,17 @@ class InceptionV3(nn.Module):
         x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = _max_pool(x)
-        x = InceptionA(32, name="Mixed_5b")(x)
-        x = InceptionA(64, name="Mixed_5c")(x)
-        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionA(32, count_include_pad=tv, name="Mixed_5b")(x)
+        x = InceptionA(64, count_include_pad=tv, name="Mixed_5c")(x)
+        x = InceptionA(64, count_include_pad=tv, name="Mixed_5d")(x)
         x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, name="Mixed_6b")(x)
-        x = InceptionC(160, name="Mixed_6c")(x)
-        x = InceptionC(160, name="Mixed_6d")(x)
-        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionC(128, count_include_pad=tv, name="Mixed_6b")(x)
+        x = InceptionC(160, count_include_pad=tv, name="Mixed_6c")(x)
+        x = InceptionC(160, count_include_pad=tv, name="Mixed_6d")(x)
+        x = InceptionC(192, count_include_pad=tv, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE("avg", name="Mixed_7b")(x)
-        x = InceptionE("max", name="Mixed_7c")(x)
+        x = InceptionE("avg_tv" if tv else "avg", name="Mixed_7b")(x)
+        x = InceptionE("avg_tv" if tv else "max", name="Mixed_7c")(x)
         feats = jnp.mean(x, axis=(1, 2))  # global average pool -> 2048
         logits = nn.Dense(self.num_classes, name="fc")(feats)
         return feats, logits
@@ -192,6 +214,8 @@ def load_torch_state_dict(state_dict: dict) -> dict:
     for key, val in state_dict.items():
         v = np.asarray(val)
         parts = key.split(".")
+        if parts[0] == "AuxLogits":  # train-only aux head (torchvision)
+            continue
         if parts[0] == "fc":
             if parts[1] == "weight":
                 put(params, ("fc", "kernel"), v.T)

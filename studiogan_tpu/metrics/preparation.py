@@ -31,6 +31,19 @@ BACKBONE_RES = {"InceptionV3_tf": 299, "InceptionV3_torch": 299,
                 "DINO_torch": 224, "Swin-T_torch": 224}
 _INCEPTION_FILES = ("pt_inception-2015-12-05-6726825d.pth",
                     "pt_inception-2015-12-05.pth")
+# file names match the reference's download URLs (preparation.py:33-40,
+# misc.py:632-691)
+_WEIGHT_FILES = {
+    "InceptionV3_torch": ("inception_v3_google-0cc3c7bd.pth",),
+    "ResNet50_torch": ("resnet50-19c8e357.pth", "resnet50-0676ba61.pth"),
+    "SwAV_torch": ("swav_800ep_pretrain.pth.tar",),
+    "SwAV_torch_linear": ("swav_800ep_eval_linear.pth.tar",),
+    "DINO_torch": ("dino_deitsmall8_pretrain.pth",
+                   "dino_deitsmall8_pretrain_full_checkpoint.pth",
+                   "dino_vits8.pth"),
+    "DINO_torch_linear": ("dino_deitsmall8_linearweights.pth",),
+    "Swin-T_torch": ("swin_base_patch4_window7_224_22kto1k.pth",),
+}
 
 
 def _find_weights(names) -> str | None:
@@ -46,6 +59,22 @@ def _find_weights(names) -> str | None:
     return None
 
 
+def _torch_load_numpy(path: str, key: str | None = None) -> dict:
+    """torch.load a checkpoint and return a flat {name: np.ndarray} dict.
+    Descends into the usual wrapper keys ('state_dict' / 'model' / an
+    explicit ``key`` like DINO's 'teacher')."""
+    import torch
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:  # legacy pickle formats (e.g. old .pth.tar files)
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    for k in (key, "state_dict", "model"):
+        if k is not None and isinstance(sd, dict) and k in sd:
+            sd = sd[k]
+    return {k: np.asarray(v) for k, v in sd.items()
+            if hasattr(v, "numpy") or isinstance(v, np.ndarray)}
+
+
 class LoadEvalModel:
     """reference preparation.py:43-122."""
 
@@ -56,100 +85,100 @@ class LoadEvalModel:
         self.res = BACKBONE_RES[eval_backbone]
         self.random_weights = False
 
+        model, variables = self._build_backbone(eval_backbone)
+        mean = jnp.asarray(self.mean)
+        std = jnp.asarray(self.std)
+
+        @jax.jit
+        def forward(x):  # x: NHWC float in [0,255]
+            x = (x / 255.0 - mean) / std
+            return model.apply(variables, x)
+
+        self._forward = forward
+
+        self.resizer = resize_mod.build_resizer(post_resizer, eval_backbone,
+                                                self.res)
+
+    def _build_backbone(self, eval_backbone: str):
+        """Resolve (flax module, converted-or-random variables) for each of
+        the reference's 6 eval backbones (reference preparation.py:43-88)."""
         if eval_backbone == "InceptionV3_tf":
-            from studiogan_tpu.metrics.inception_v3 import InceptionV3, load_weights
+            from studiogan_tpu.metrics.inception_v3 import (InceptionV3,
+                                                            load_weights)
             self.mean = np.array([0.5, 0.5, 0.5], np.float32)
             self.std = np.array([0.5, 0.5, 0.5], np.float32)
             model = InceptionV3()
             path = _find_weights(_INCEPTION_FILES)
             if path:
-                variables = load_weights(path)
-            else:
-                warnings.warn(
-                    "pt_inception weights not found (no-egress environment); "
-                    "using RANDOM InceptionV3 weights — FID/IS values are NOT "
-                    "comparable. Set STUDIOGAN_WEIGHTS_DIR.")
-                self.random_weights = True
-                variables = model.init(jax.random.PRNGKey(0),
-                                       jnp.zeros((1, self.res, self.res, 3)))
+                return model, load_weights(path)
+            return model, self._random_init(model, "pt_inception")
 
-            mean = jnp.asarray(self.mean)
-            std = jnp.asarray(self.std)
+        self.mean = np.array([0.485, 0.456, 0.406], np.float32)
+        self.std = np.array([0.229, 0.224, 0.225], np.float32)
 
-            @jax.jit
-            def forward(x):  # x: NHWC float in [0,255]
-                x = (x / 255.0 - mean) / std
-                return model.apply(variables, x)
-
-            self._forward = forward
-        elif eval_backbone in ("ResNet50_torch", "SwAV_torch", "DINO_torch"):
-            from studiogan_tpu.metrics.backbones import (
-                DINOViTSmall, ResNet50, convert_resnet50_torch)
-            self.mean = np.array([0.485, 0.456, 0.406], np.float32)
-            self.std = np.array([0.229, 0.224, 0.225], np.float32)
-            if eval_backbone == "DINO_torch":
-                model = DINOViTSmall()
-                weight_names = ("dino_deitsmall8_pretrain_full_checkpoint.pth",
-                                "dino_vits8.pth")
-                converter = None  # converter lands with the weights drop
-            else:
-                model = ResNet50()
-                weight_names = ({"ResNet50_torch": ("resnet50-19c8e357.pth",
-                                                    "resnet50-0676ba61.pth"),
-                                 "SwAV_torch": ("swav_800ep_pretrain.pth.tar",)}
-                                [eval_backbone])
-                converter = convert_resnet50_torch
-            path = _find_weights(weight_names)
-            if path and converter is not None:
-                import torch
-                sd = torch.load(path, map_location="cpu", weights_only=True)
-                variables = converter({k: v.numpy() for k, v in sd.items()})
-            else:
-                warnings.warn(
-                    f"{eval_backbone} weights not found (no-egress "
-                    f"environment); using RANDOM weights — metric values are "
-                    f"NOT comparable. Set STUDIOGAN_WEIGHTS_DIR.")
-                self.random_weights = True
-                variables = model.init(jax.random.PRNGKey(0),
-                                       jnp.zeros((1, self.res, self.res, 3)))
-            mean = jnp.asarray(self.mean)
-            std = jnp.asarray(self.std)
-
-            @jax.jit
-            def forward(x):  # x: NHWC float in [0,255]
-                x = (x / 255.0 - mean) / std
-                return model.apply(variables, x)
-
-            self._forward = forward
-        elif eval_backbone == "Swin-T_torch":
-            from studiogan_tpu.metrics.swin import SwinTransformer
-            self.mean = np.array([0.485, 0.456, 0.406], np.float32)
-            self.std = np.array([0.229, 0.224, 0.225], np.float32)
-            model = SwinTransformer()
-            path = _find_weights(("swin_base_patch4_window7_224_22kto1k.pth",))
+        if eval_backbone == "InceptionV3_torch":
+            from studiogan_tpu.metrics.inception_v3 import (
+                InceptionV3, load_torch_state_dict)
+            # torchvision pretrained inception_v3 sets transform_input=True
+            model = InceptionV3(num_classes=1000, variant="torchvision",
+                                transform_input=True)
+            path = _find_weights(_WEIGHT_FILES[eval_backbone])
             if path:
-                raise NotImplementedError(
-                    "Swin weight conversion lands with the weights drop")
-            warnings.warn(
-                "Swin weights not found (no-egress environment); using RANDOM "
-                "weights — metric values are NOT comparable.")
-            self.random_weights = True
-            variables = model.init(jax.random.PRNGKey(0),
-                                   jnp.zeros((1, self.res, self.res, 3)))
-            mean = jnp.asarray(self.mean)
-            std = jnp.asarray(self.std)
-
-            @jax.jit
-            def forward(x):
-                x = (x / 255.0 - mean) / std
-                return model.apply(variables, x)
-
-            self._forward = forward
+                return model, load_torch_state_dict(_torch_load_numpy(path))
+        elif eval_backbone == "ResNet50_torch":
+            from studiogan_tpu.metrics.backbones import (ResNet50,
+                                                         convert_resnet50_torch)
+            model = ResNet50()
+            path = _find_weights(_WEIGHT_FILES[eval_backbone])
+            if path:
+                return model, convert_resnet50_torch(_torch_load_numpy(path))
+        elif eval_backbone == "SwAV_torch":
+            from studiogan_tpu.metrics.backbones import (ResNet50,
+                                                         convert_swav_resnet50)
+            model = ResNet50()
+            path = _find_weights(_WEIGHT_FILES[eval_backbone])
+            lin_path = _find_weights(_WEIGHT_FILES["SwAV_torch_linear"])
+            if path:
+                if lin_path is None:
+                    warnings.warn("SwAV trunk found but the linear classifier "
+                                  "(swav_800ep_eval_linear.pth.tar) is not; "
+                                  "logits will be zero (IS not comparable).")
+                return model, convert_swav_resnet50(
+                    _torch_load_numpy(path),
+                    _torch_load_numpy(lin_path) if lin_path else None)
+        elif eval_backbone == "DINO_torch":
+            from studiogan_tpu.metrics.backbones import (DINOViTSmall,
+                                                         convert_dino_vits)
+            model = DINOViTSmall()
+            path = _find_weights(_WEIGHT_FILES[eval_backbone])
+            lin_path = _find_weights(_WEIGHT_FILES["DINO_torch_linear"])
+            if path:
+                if lin_path is None:
+                    warnings.warn("DINO trunk found but the linear classifier "
+                                  "(dino_deitsmall8_linearweights.pth) is "
+                                  "not; logits will be zero.")
+                return model, convert_dino_vits(
+                    _torch_load_numpy(path, key="teacher"),
+                    _torch_load_numpy(lin_path) if lin_path else None)
+        elif eval_backbone == "Swin-T_torch":
+            from studiogan_tpu.metrics.swin import (SwinTransformer,
+                                                    convert_swin_torch)
+            model = SwinTransformer()
+            path = _find_weights(_WEIGHT_FILES[eval_backbone])
+            if path:
+                return model, convert_swin_torch(_torch_load_numpy(path))
         else:
             raise NotImplementedError(eval_backbone)
+        return model, self._random_init(model, eval_backbone)
 
-        self.resizer = resize_mod.build_resizer(post_resizer, eval_backbone,
-                                                self.res)
+    def _random_init(self, model, what: str):
+        warnings.warn(
+            f"{what} weights not found (no-egress environment); using RANDOM "
+            f"{self.eval_backbone} weights — metric values are NOT "
+            f"comparable. Set STUDIOGAN_WEIGHTS_DIR.")
+        self.random_weights = True
+        return model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, self.res, self.res, 3)))
 
     def get_outputs(self, x: np.ndarray, quantize: bool = False):
         """x: NHWC [-1,1] float (quantize=True) or uint8 (quantize=False).

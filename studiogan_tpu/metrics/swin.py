@@ -124,7 +124,7 @@ class SwinBlock(nn.Module):
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
         y = nn.Dense(c, name="mlp_fc2")(y)
         return x + y
 
@@ -182,3 +182,56 @@ class SwinTransformer(nn.Module):
         feats = jnp.mean(x, axis=1)                       # (B, 8*embed_dim)
         logits = nn.Dense(self.num_classes, name="head")(feats)
         return feats, logits
+
+
+def convert_swin_torch(sd: dict, depths=(2, 2, 18, 2)) -> dict:
+    """Microsoft Swin checkpoint (swin_base_patch4_window7_224_22kto1k.pth
+    ``model`` dict: patch_embed.proj / layers.{l}.blocks.{b}.{norm1,
+    attn.{qkv,proj,relative_position_bias_table},norm2,mlp.{fc1,fc2}} /
+    layers.{l}.downsample.{norm,reduction} / norm / head) ->
+    SwinTransformer flax variables (reference preparation.py:76-81).
+
+    ``relative_position_index`` and ``attn_mask`` buffers are recomputed
+    statically by the flax module and skipped here.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {
+        "patch_embed": {"kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+                        "bias": sd["patch_embed.proj.bias"]},
+        "patch_norm": {"scale": sd["patch_embed.norm.weight"],
+                       "bias": sd["patch_embed.norm.bias"]},
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+        "head": {"kernel": sd["head.weight"].T, "bias": sd["head.bias"]},
+    }
+
+    def ln(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    def dense(prefix, use_bias=True):
+        out = {"kernel": sd[prefix + ".weight"].T}
+        if use_bias:
+            out["bias"] = sd[prefix + ".bias"]
+        return out
+
+    for li, depth in enumerate(depths):
+        for bi in range(depth):
+            p = f"layers.{li}.blocks.{bi}"
+            params[f"layer{li}_block{bi}"] = {
+                "norm1": ln(p + ".norm1"),
+                "attn": {
+                    "qkv": dense(p + ".attn.qkv"),
+                    "proj": dense(p + ".attn.proj"),
+                    "relative_position_bias_table":
+                        sd[p + ".attn.relative_position_bias_table"],
+                },
+                "norm2": ln(p + ".norm2"),
+                "mlp_fc1": dense(p + ".mlp.fc1"),
+                "mlp_fc2": dense(p + ".mlp.fc2"),
+            }
+        if li < len(depths) - 1:
+            params[f"layer{li}_downsample"] = {
+                "norm": ln(f"layers.{li}.downsample.norm"),
+                "reduction": dense(f"layers.{li}.downsample.reduction",
+                                   use_bias=False),
+            }
+    return {"params": params}

@@ -488,7 +488,9 @@ class MinibatchStdLayer(nn.Module):
         y = y - jnp.mean(y, axis=0, keepdims=True)
         y = jnp.sqrt(jnp.mean(jnp.square(y), axis=0) + 1e-8)  # (n/g,h,w,f,cc)
         y = jnp.mean(y, axis=(1, 2, 4))                        # (n/g, f)
-        y = jnp.repeat(y, g, axis=0)                           # (n, f)
+        # torch's y.repeat(G,1,H,W) tiles: sample j gets the std of its own
+        # strided group j % (n/g) (reference stylegan2.py:676)
+        y = jnp.tile(y, (g, 1))                                # (n, f)
         y = jnp.broadcast_to(y[:, None, None, :], (n, h, w, f))
         return jnp.concatenate([x, y.astype(x.dtype)], axis=-1)
 

@@ -146,9 +146,9 @@ class TrainEngine:
                 img, _ = self._g_apply(g_params, g_state, z, y, rng=k3)
                 out, _ = self._d_apply(d_params, d_state, img, y)
                 return out["adv_output"]
-            zs = L.latent_optimise(zs, labels, g_d_adv, k3, Ls.lo_rate,
-                                   Ls.lo_steps4train, Ls.lo_alpha, Ls.lo_beta)
-            trsp_cost = jnp.asarray(0.0)  # transport cost folded into latents
+            zs, trsp_cost = L.latent_optimise(
+                zs, labels, g_d_adv, k3, Ls.lo_rate,
+                Ls.lo_steps4train, Ls.lo_alpha, Ls.lo_beta)
 
         mutable = self._g_mutable(g_state, update_g_state)
         if self.mpc:

@@ -28,12 +28,13 @@ def sample_y(rng: Array, y_sampler, batch_size: int, num_classes: int) -> Array 
     """(reference sample.py:43-66)"""
     if y_sampler == "totally_random":
         return jax.random.randint(rng, (batch_size,), 0, num_classes, dtype=jnp.int32)
-    if y_sampler == "acending_some":
+    # the reference misspells "ascending" ("acending", sample.py:50); accept both
+    if y_sampler in ("acending_some", "ascending_some"):
         assert batch_size % 8 == 0
         num_plot = batch_size // 8
         idx = jax.random.permutation(rng, num_classes)[:num_plot]
         return jnp.repeat(idx, 8).astype(jnp.int32)
-    if y_sampler == "acending_all":
+    if y_sampler in ("acending_all", "ascending_all"):
         return jnp.repeat(jnp.arange(num_classes, dtype=jnp.int32), 8)
     if isinstance(y_sampler, int):
         return jnp.full((batch_size,), y_sampler, dtype=jnp.int32)

@@ -135,3 +135,44 @@ class TestSPMD:
         state, metrics = step(state, imgs, labels)
         assert np.isfinite(float(metrics["d_loss"]))
         assert int(state.step) == 1
+
+
+class TestFreezeD:
+    def test_reference_blocklist_numbering_with_attention(self):
+        """The reference's flat blocklist gives SelfAttention its own index
+        (misc.py:192-216 + big_resnet.py:307-344): freezeD=2 on a D with
+        attention after block0 freezes block0 AND attn0, not block0+block1."""
+        from studiogan_tpu.train.optim import freezeD_frozen_modules
+        names = {"block0", "attn0", "block1", "block2", "adv_dense", "embed"}
+        assert freezeD_frozen_modules(names, 1, "big_resnet") == {"block0"}
+        assert freezeD_frozen_modules(names, 2, "big_resnet") == {
+            "block0", "attn0"}
+        assert freezeD_frozen_modules(names, 3, "big_resnet") == {
+            "block0", "attn0", "block1"}
+
+    def test_deep_variant_numbering(self):
+        """big_resnet_deep gives each depth sub-block its own entry
+        (reference big_resnet_deep_legacy.py:273-285)."""
+        from studiogan_tpu.train.optim import freezeD_frozen_modules
+        names = {"block0_0", "block0_1", "attn0", "block1_0", "block1_1"}
+        got = freezeD_frozen_modules(names, 3, "big_resnet_deep_legacy")
+        assert got == {"block0_0", "block0_1", "attn0"}
+
+    def test_frozen_blocks_do_not_move(self):
+        cfg = tiny_biggan_cfg(**{"RUN.freezeD": 2})
+        G, D = build_generator(cfg), build_discriminator(cfg)
+        from studiogan_tpu.train import TrainEngine
+        eng = TrainEngine(cfg, G, D)
+        state0 = eng.init_state(jax.random.PRNGKey(0))
+        d0 = jax.tree.map(jnp.copy, state0.d_params)
+        step = jax.jit(eng.train_step)
+        imgs, labels = make_basket(cfg)
+        state1, _ = step(state0, imgs, labels)
+        # attn is at d_loc [1] -> attn0 follows block0; freezeD=2 freezes both
+        for frozen_key in ("block0", "attn0"):
+            diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                                 d0[frozen_key], state1.d_params[frozen_key])
+            assert max(jax.tree.leaves(diffs)) == 0.0, frozen_key
+        moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             d0["block1"], state1.d_params["block1"])
+        assert max(jax.tree.leaves(moved)) > 0.0

@@ -207,3 +207,44 @@ class TestEvaluatorEndToEnd:
         assert scores["is"] >= 1.0
         assert set(scores) >= {"fid", "is", "precision", "recall",
                                "density", "coverage"}
+
+
+class TestTF13IS:
+    def test_tf1_resize_bilinear_asymmetric_semantics(self):
+        """TF1.x ResizeBilinear uses src = dst * in/out (no half-pixel
+        centers); verify against a direct numpy evaluation."""
+        import jax.numpy as jnp
+        from studiogan_tpu.metrics.ins_tf13 import tf1_resize_bilinear
+        rng = np.random.RandomState(0)
+        x = rng.uniform(0, 255, (1, 5, 7, 3)).astype(np.float32)
+        out = np.asarray(tf1_resize_bilinear(jnp.asarray(x), 9))
+
+        expected = np.zeros((1, 9, 9, 3), np.float32)
+        for dy in range(9):
+            sy = dy * 5 / 9
+            y0, yf = int(np.floor(sy)), sy - np.floor(sy)
+            y1 = min(y0 + 1, 4)
+            for dx in range(9):
+                sx = dx * 7 / 9
+                x0, xf = int(np.floor(sx)), sx - np.floor(sx)
+                x1 = min(x0 + 1, 6)
+                top = x[0, y0, x0] * (1 - xf) + x[0, y0, x1] * xf
+                bot = x[0, y1, x0] * (1 - xf) + x[0, y1, x1] * xf
+                expected[0, dy, dx] = top * (1 - yf) + bot * yf
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-4)
+
+    def test_tf13_scorer_runs(self):
+        """Structure check (weights absent here): probs are a valid softmax
+        over 1008 classes and IS is finite."""
+        from studiogan_tpu.metrics.ins_tf13 import TF13InceptionScorer
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            scorer = TF13InceptionScorer(batch_size=4)
+        imgs = np.random.RandomState(1).randint(
+            0, 256, (8, 32, 32, 3)).astype(np.uint8)
+        probs = scorer.predict(imgs)
+        assert probs.shape == (8, 1008)
+        np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
+        m, s = scorer.score(imgs, splits=2)
+        assert np.isfinite(m) and np.isfinite(s)

@@ -56,3 +56,47 @@ class TestEvaluatorRefIS:
             num_generate=32)
         score, std = ev.ref_dataset_is()
         assert np.isfinite(score) and score >= 1.0
+
+
+class TestLatentOptimise:
+    def test_transport_cost_matches_numpy(self):
+        """latent_optimise parity vs a numpy emulation of reference
+        losses.py:278-298 (lo_rate=1 makes the drop mask all-ones a.s.;
+        trsp_cost accumulates mean ||delta_z||^2 per executed step)."""
+        from studiogan_tpu.losses.losses import latent_optimise
+
+        def fn(z, y):  # adv(z) = per-sample sum(z^2) -> grad 2z
+            return jnp.sum(z ** 2, axis=1)
+
+        z0 = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (4, 6)),
+                        np.float64)
+        lo_alpha, lo_beta, steps = 0.9, 0.1, 4
+        zs, cost = latent_optimise(
+            jnp.asarray(z0, jnp.float32), jnp.zeros((4,), jnp.int32), fn,
+            jax.random.PRNGKey(1), 1.0, steps, lo_alpha, lo_beta)
+
+        z, expect = z0.copy(), 0.0
+        for _ in range(steps - 1):
+            g = 2 * z
+            gn = (g ** 2).sum(1, keepdims=True)
+            dz = lo_alpha * g / (lo_beta + gn)
+            expect += (dz ** 2).sum(1).mean()
+            z = np.clip(z + dz, -1.0, 1.0)
+        np.testing.assert_allclose(float(cost), expect, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(zs), z, rtol=1e-4, atol=1e-5)
+
+    def test_logan_trsp_cost_changes_losses(self):
+        """A LOGAN config trains with a nonzero lo_lambda * trsp_cost term:
+        losses differ from the trsp-disabled (lo_lambda=0) run with
+        otherwise identical RNG (reference worker.py:323,628)."""
+        base = {"LOSS.apply_lo": True, "LOSS.lo_alpha": 0.9,
+                "LOSS.lo_beta": 0.1, "LOSS.lo_rate": 1.0,
+                "LOSS.lo_steps4train": 3, "LOSS.lo_steps4eval": 3,
+                "MODEL.apply_attn": False}
+        cfg_on = tiny_biggan_cfg(**base, **{"LOSS.lo_lambda": 50.0})
+        cfg_off = tiny_biggan_cfg(**base, **{"LOSS.lo_lambda": 0.0})
+        _, _, m_on = run_steps(cfg_on, 1)
+        _, _, m_off = run_steps(cfg_off, 1)
+        assert np.isfinite(float(m_on["d_loss"]))
+        assert abs(float(m_on["d_loss"]) - float(m_off["d_loss"])) > 1e-7
+        assert abs(float(m_on["g_loss"]) - float(m_off["g_loss"])) > 1e-7

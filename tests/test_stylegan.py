@@ -124,9 +124,32 @@ class TestStyleGANPieces:
         x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 16))
         y = m.apply({}, x)
         assert y.shape == (8, 4, 4, 17)
-        # appended channel is constant within each group
+        # torch reshape(G,-1,...) makes stat groups strided: sample j pools
+        # with {j%(n/g), j%(n/g)+(n/g), ...}; appended channel is constant
+        # within a strided group (samples 0 and 2 here), distinct across
         std_map = np.asarray(y[..., -1])
-        assert np.allclose(std_map[0], std_map[1])
+        assert np.allclose(std_map[0], std_map[2])
+        assert not np.allclose(std_map[0], std_map[1])
+
+    def test_mbstd_value_parity_with_torch_formula(self):
+        """Value-level check against the reference's exact computation
+        (reference stylegan2.py:659-680: reshape(G,-1,F,c,H,W), stats over
+        dim 0, y.repeat(G,1,H,W) tiling)."""
+        n, h, w, c, g, f = 8, 3, 3, 6, 4, 2
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (n, h, w, c)),
+                       np.float64)
+        # numpy emulation of the torch NCHW code
+        xt = x.transpose(0, 3, 1, 2)                        # NCHW
+        yt = xt.reshape(g, n // g, f, c // f, h, w)
+        yt = yt - yt.mean(axis=0, keepdims=True)
+        yt = np.sqrt((yt ** 2).mean(axis=0) + 1e-8)
+        yt = yt.mean(axis=(2, 3, 4)).reshape(-1, f, 1, 1)   # (n/g, F, 1, 1)
+        yt = np.tile(yt, (g, 1, h, w))                      # y.repeat(G,1,H,W)
+        expected = np.concatenate([xt, yt], axis=1).transpose(0, 2, 3, 1)
+
+        m = stylegan2.MinibatchStdLayer(group_size=g, num_channels=f)
+        got = np.asarray(m.apply({}, jnp.asarray(x, jnp.float32)))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
     def test_modulated_conv_demodulation_normalizes(self):
         """After demodulation each output channel has ~unit scale."""
