@@ -204,6 +204,236 @@ def convert_discriminator(sd: dict, cfg) -> tuple[dict, list[str]]:
     return m.variables(), m.missing
 
 
+# ---------------------------------------------------------------------------
+# StyleGAN2 checkpoints (reference src/models/stylegan2.py; the torch and
+# flax modules deliberately share parameter layouts — FCL weight (out,in),
+# conv weight OIHW, bias/bias_gain convention — so conversion is a pure
+# renaming walk plus the const buffer's CHW->HWC transpose).
+# ---------------------------------------------------------------------------
+
+
+def _sg_channels(cfg):
+    from studiogan_tpu.models.stylegan2 import (_block_channels,
+                                                _stylegan_channel_policy)
+    channel_base, channel_max, _, _ = _stylegan_channel_policy(cfg)
+    return _block_channels(cfg.DATA.img_size, channel_base, channel_max)
+
+
+class _SGMapper(_Mapper):
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.buffers: dict = {}
+        self.stats_ema: dict = {}
+
+    def fcl(self, src: str, dst: tuple, bias: bool = True):
+        """FullyConnectedLayer: weight (out,in) stored identically in both
+        frameworks (reference stylegan2.py:113-116 vs our
+        models/stylegan2.py:50-66) -> verbatim copy."""
+        w = self._get(src + ".weight")
+        if w is not None:
+            _put(self.params, dst + ("weight",), w)
+        if bias:
+            b = self._get(src + ".bias")
+            if b is not None:
+                _put(self.params, dst + ("bias",), b)
+
+    def sg_conv(self, src: str, dst: tuple, bias: bool = True):
+        """Conv2dLayer / SynthesisLayer weight: OIHW in both."""
+        w = self._get(src + ".weight")
+        if w is not None:
+            _put(self.params, dst + ("weight",), w)
+        if bias:
+            b = self._get(src + ".bias")
+            if b is not None:
+                _put(self.params, dst + ("bias",), b)
+
+    def cond_mapping(self, src: str, dst: tuple, num_layers: int,
+                     with_embed: bool = True):
+        """Head MappingNetwork (z_dim=0): embed + fc{i} stack."""
+        if with_embed:
+            self.fcl(src + ".embed", dst + ("embed",))
+        for i in range(num_layers):
+            self.fcl(f"{src}.fc{i}", dst + (f"fc{i}",))
+
+    def variables(self) -> dict:
+        out = {"params": self.params}
+        if self.buffers:
+            out["buffers"] = self.buffers
+        if self.stats_ema:
+            out["stats_ema"] = self.stats_ema
+        return out
+
+
+def convert_stylegan_generator(sd: dict, cfg) -> tuple[dict, list[str]]:
+    """Reference stylegan2 Generator state dict -> flax variables
+    (mapping.* / synthesis.b{res}.* naming, reference stylegan2.py:512-548,
+    190-264, 344-452)."""
+    m = _SGMapper(sd)
+    M = cfg.MODEL
+    resolutions, _ = _sg_channels(cfg)
+
+    c_dim = cfg.DATA.num_classes if M.g_cond_mtd == "cAdaIN" else 0
+    if c_dim > 0:
+        m.fcl("mapping.embed", ("mapping", "embed"))
+    for i in range(cfg.STYLEGAN.mapping_network):
+        m.fcl(f"mapping.fc{i}", ("mapping", f"fc{i}"))
+    w_avg = m._get("mapping.w_avg")
+    if w_avg is not None:
+        _put(m.stats_ema, ("mapping", "w_avg"), w_avg)
+
+    for res in resolutions:
+        src = f"synthesis.b{res}"
+        dst = ("synthesis", f"b{res}")
+        if res == 4:
+            const = m._get(f"{src}.const")
+            if const is not None:  # torch (C,H,W) -> flax (H,W,C)
+                _put(m.params, dst + ("const",), const.transpose(1, 2, 0))
+            convs = ["conv1"]
+        else:
+            convs = ["conv0", "conv1"]
+        for cv in convs:
+            m.sg_conv(f"{src}.{cv}", dst + (cv,))
+            m.fcl(f"{src}.{cv}.affine", dst + (cv, "affine"))
+            ns = m._get(f"{src}.{cv}.noise_strength")
+            if ns is not None:
+                _put(m.params, dst + (cv, "noise_strength"), ns)
+            nc = m.sd.get(f"{src}.{cv}.noise_const")
+            if nc is not None:
+                _put(m.buffers, dst + (cv, "noise_const"), nc)
+        m.sg_conv(f"{src}.torgb", dst + ("torgb",))
+        m.fcl(f"{src}.torgb.affine", dst + ("torgb", "affine"))
+    return m.variables(), m.missing
+
+
+def convert_stylegan_discriminator(sd: dict, cfg) -> tuple[dict, list[str]]:
+    """Reference stylegan2 Discriminator state dict -> flax variables
+    (b{res}.* trunk + StudioGAN conditioning heads,
+    reference stylegan2.py:734-923)."""
+    m = _SGMapper(sd)
+    M = cfg.MODEL
+    resolutions, _ = _sg_channels(cfg)
+    arch = (cfg.STYLEGAN.d_architecture
+            if cfg.STYLEGAN.d_architecture != NA else "resnet")
+    img_resolution = cfg.DATA.img_size
+
+    for res in reversed(resolutions):  # img_res down to 8
+        if res == 4:
+            continue
+        src = dst_name = f"b{res}"
+        dst = (dst_name,)
+        if res == img_resolution or arch == "skip":
+            m.sg_conv(f"{src}.fromrgb", dst + ("fromrgb",))
+        m.sg_conv(f"{src}.conv0", dst + ("conv0",))
+        m.sg_conv(f"{src}.conv1", dst + ("conv1",))
+        if arch == "resnet":
+            m.sg_conv(f"{src}.skip", dst + ("skip",), bias=False)
+    if arch == "skip":
+        m.sg_conv("b4.fromrgb", ("b4", "fromrgb"))
+    m.sg_conv("b4.conv", ("b4", "conv"))
+    m.fcl("b4.fc", ("b4", "fc"))
+
+    # heads (reference stylegan2.py:796-841)
+    c_dim = (cfg.DATA.num_classes
+             if M.d_cond_mtd in tuple(cfg.STYLEGAN.cond_type) else 0)
+    if M.aux_cls_type == "ADC":
+        c_dim *= 2
+    m.fcl("linear1", ("linear1",))
+    if M.d_cond_mtd == "AC":
+        m.fcl("linear2", ("linear2",), bias=False)
+    elif M.d_cond_mtd == "PD":
+        # reference constructs linear2 but its forward uses an undefined
+        # self.embedding (stylegan2.py:813 vs :880) — unreachable in shipped
+        # configs; map linear2 onto our "embedding" head when shapes permit.
+        if "embedding.weight" in m.sd:
+            m.fcl("embedding", ("embedding",))
+    elif M.d_cond_mtd == "SPD" and c_dim > 0:
+        m.cond_mapping("mapping", ("mapping",), num_layers=8)
+    elif M.d_cond_mtd in ("2C", "D2DCE"):
+        m.fcl("linear2", ("linear2",))
+        m.cond_mapping("embedding", ("embedding",), num_layers=1)
+    if M.aux_cls_type == "TAC":
+        if M.d_cond_mtd == "AC":
+            m.fcl("linear_mi", ("linear_mi",), bias=False)
+        elif M.d_cond_mtd in ("2C", "D2DCE"):
+            m.fcl("linear_mi", ("linear_mi",))
+            m.cond_mapping("embedding_mi", ("embedding_mi",), num_layers=1)
+    if M.info_type in ("discrete", "both"):
+        m.fcl("info_discrete_linear", ("info_discrete_linear",), bias=False)
+    if M.info_type in ("continuous", "both"):
+        m.fcl("info_conti_mu_linear", ("info_conti_mu_linear",), bias=False)
+        m.fcl("info_conti_var_linear", ("info_conti_var_linear",), bias=False)
+    return m.variables(), m.missing
+
+
+def _sg3_layer_plan(cfg, channel_base=None, channel_max=None):
+    """Replicate the SG3 layer-plan math (reference stylegan3.py:400-456 /
+    our models/stylegan3.py:245-259) to reconstruct the reference's
+    ``L{idx}_{out_size}_{out_channels}`` layer names."""
+    from studiogan_tpu.models.stylegan2 import _stylegan_channel_policy
+    if channel_base is None or channel_max is None:
+        channel_base, channel_max, _, _ = _stylegan_channel_policy(cfg)
+        if cfg.STYLEGAN.stylegan3_cfg == "stylegan3-r":
+            channel_base, channel_max = channel_base * 2, channel_max * 2
+    num_layers, num_critical = 14, 2
+    img_resolution = cfg.DATA.img_size
+    first_cutoff, first_stopband = 2.0, 2 ** 2.1
+    last_cutoff = img_resolution / 2
+    last_stopband = last_cutoff * (2 ** 0.3)
+    exponents = np.minimum(
+        np.arange(num_layers + 1) / (num_layers - num_critical), 1)
+    cutoffs = first_cutoff * (last_cutoff / first_cutoff) ** exponents
+    stopbands = first_stopband * (last_stopband / first_stopband) ** exponents
+    sampling_rates = np.exp2(np.ceil(np.log2(
+        np.minimum(stopbands * 2, img_resolution))))
+    sizes = sampling_rates + 10 * 2
+    sizes[-2:] = img_resolution
+    channels = np.rint(np.minimum((channel_base / 2) / cutoffs, channel_max))
+    channels[-1] = cfg.DATA.img_channels
+    return [f"L{idx}_{int(sizes[idx])}_{int(channels[idx])}"
+            for idx in range(num_layers + 1)]
+
+
+def convert_stylegan3_generator(sd: dict, cfg, channel_base=None,
+                                channel_max=None) -> tuple[dict, list[str]]:
+    """Reference stylegan3 Generator state dict -> flax variables
+    (reference stylegan3.py:483-520; our layers are named ``L{idx}`` with
+    the affine FCL as ``affine_fc``)."""
+    m = _SGMapper(sd)
+    M = cfg.MODEL
+
+    c_dim = cfg.DATA.num_classes if M.g_cond_mtd == "cAdaIN" else 0
+    if c_dim > 0:
+        m.fcl("mapping.embed", ("mapping", "embed"))
+    for i in range(cfg.STYLEGAN.mapping_network):
+        m.fcl(f"mapping.fc{i}", ("mapping", f"fc{i}"))
+    w_avg = m._get("mapping.w_avg")
+    if w_avg is not None:
+        _put(m.stats_ema, ("mapping", "w_avg"), w_avg)
+
+    m.fcl("synthesis.input.affine", ("synthesis", "input", "affine"))
+    w = m._get("synthesis.input.weight")
+    if w is not None:
+        _put(m.params, ("synthesis", "input", "weight"), w)
+    for buf in ("freqs", "phases", "transform"):
+        v = m._get(f"synthesis.input.{buf}")
+        if v is not None:
+            _put(m.buffers, ("synthesis", "input", buf), v)
+
+    for idx, ref_name in enumerate(
+            _sg3_layer_plan(cfg, channel_base, channel_max)):
+        src = f"synthesis.{ref_name}"
+        dst = ("synthesis", f"L{idx}")
+        m.fcl(f"{src}.affine", dst + ("affine_fc",))
+        for leaf in ("weight", "bias"):
+            v = m._get(f"{src}.{leaf}")
+            if v is not None:
+                _put(m.params, dst + (leaf,), v)
+        me = m._get(f"{src}.magnitude_ema")
+        if me is not None:
+            _put(m.stats_ema, dst + ("magnitude_ema",), me)
+    return m.variables(), m.missing
+
+
 def load_reference_checkpoint(ckpt_dir: str, cfg, load_best: bool = False):
     """Read the reference's model=G/D/G_ema .pth triplet (ckpt.py:77-134).
     Returns dict with 'g', 'd', 'g_ema' flax variable trees + metadata."""
@@ -222,7 +452,15 @@ def load_reference_checkpoint(ckpt_dir: str, cfg, load_best: bool = False):
             continue
         ckpt = torch.load(paths[-1], map_location="cpu", weights_only=False)
         sd = {k: v.numpy() for k, v in ckpt["state_dict"].items()}
-        conv = convert_discriminator if tag == "D" else convert_generator
+        if cfg.MODEL.backbone == "stylegan2":
+            conv = (convert_stylegan_discriminator if tag == "D"
+                    else convert_stylegan_generator)
+        elif cfg.MODEL.backbone == "stylegan3":
+            # SG3 D is the SG2 D; the SG3 synthesis converter is separate
+            conv = (convert_stylegan_discriminator if tag == "D"
+                    else convert_stylegan3_generator)
+        else:
+            conv = convert_discriminator if tag == "D" else convert_generator
         variables, missing = conv(sd, cfg)
         out[key] = variables
         if missing:

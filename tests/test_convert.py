@@ -128,3 +128,123 @@ class TestConverterRoundtrip:
         assert any("linear1" in m for m in missing)
         assert any("blocks.0.0.conv2d1" in m for m in missing)
         assert any("blocks.1.0" in m for m in missing)  # attn after block 0? no: block1
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN2 / StyleGAN3 checkpoint conversion
+# ---------------------------------------------------------------------------
+
+from studiogan_tpu.train.convert import (  # noqa: E402
+    convert_stylegan3_generator, convert_stylegan_discriminator,
+    convert_stylegan_generator)
+
+
+def _sg_cfg(backbone="stylegan2", d_cond="SPD"):
+    cfg = Configurations()
+    cfg.DATA.name, cfg.DATA.img_size, cfg.DATA.num_classes = "CIFAR10", 32, 10
+    cfg.MODEL.backbone = backbone
+    cfg.MODEL.g_cond_mtd, cfg.MODEL.d_cond_mtd = "cAdaIN", d_cond
+    cfg.MODEL.z_dim = cfg.MODEL.w_dim = 32
+    cfg.STYLEGAN.mapping_network = 2
+    if backbone == "stylegan3":
+        cfg.STYLEGAN.stylegan3_cfg = "stylegan3-t"
+    cfg.finalize()
+    return cfg
+
+
+def _sg_inverse_sd(variables, rename=None):
+    """Our flax variables -> the reference's torch state-dict names.
+
+    The flax modules keep torch parameter layouts on purpose, so the
+    inverse is a pure path-join (plus the const CHW transpose and any
+    layer renames the caller supplies)."""
+    sd = {}
+    for coll in ("params", "buffers", "stats_ema"):
+        if coll not in variables:
+            continue
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                jax.device_get(variables[coll])):
+            parts = [p.key for p in path]
+            if rename is not None:
+                parts = rename(parts)
+            arr = np.asarray(leaf)
+            if parts[-1] == "const":
+                arr = arr.transpose(2, 0, 1)  # flax HWC -> torch CHW
+            sd[".".join(parts)] = arr
+    return sd
+
+
+def _assert_tree_equal(expect_variables, got_variables):
+    a = _flatten({k: jax.device_get(v) for k, v in expect_variables.items()})
+    b = _flatten(got_variables)
+    assert set(a) == set(b), (sorted(set(a) - set(b))[:8],
+                              sorted(set(b) - set(a))[:8])
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], err_msg=k)
+
+
+class TestStyleGANConverter:
+    def test_sg2_generator_exact(self):
+        from studiogan_tpu.models import stylegan2
+        cfg = _sg_cfg()
+        G = stylegan2.Generator(z_dim=32, c_dim=10, w_dim=32,
+                                img_resolution=32, img_channels=3,
+                                num_classes=10, mapping_layers=2,
+                                channel_base=1024, channel_max=64)
+        z = jnp.zeros((2, 32))
+        y = jnp.zeros((2,), jnp.int32)
+        v = G.init({"params": jax.random.PRNGKey(0),
+                    "noise": jax.random.PRNGKey(1),
+                    "style_mix": jax.random.PRNGKey(2)}, z, y)
+        v = jax.device_get(v)
+        sd = _sg_inverse_sd(v)
+        converted, missing = convert_stylegan_generator(sd, cfg)
+        assert not missing, missing
+        _assert_tree_equal(v, converted)
+        img = G.apply(converted, z, y, train=False)
+        assert img.shape == (2, 32, 32, 3)
+
+    def test_sg2_discriminator_exact(self):
+        from studiogan_tpu.models import stylegan2
+        cfg = _sg_cfg()
+        D = stylegan2.Discriminator(c_dim=10, img_resolution=32,
+                                    img_channels=3, channel_base=1024,
+                                    channel_max=64, d_cond_mtd="SPD",
+                                    num_classes=10, mbstd_group_size=2)
+        img = jnp.zeros((2, 32, 32, 3))
+        y = jnp.zeros((2,), jnp.int32)
+        v = jax.device_get(D.init(jax.random.PRNGKey(0), img, y))
+        sd = _sg_inverse_sd(v)
+        converted, missing = convert_stylegan_discriminator(sd, cfg)
+        assert not missing, missing
+        _assert_tree_equal(v, converted)
+        out = D.apply(converted, img, y, train=False)
+        assert out["adv_output"].shape == (2,)
+
+    def test_sg3_generator_exact(self):
+        from studiogan_tpu.models import stylegan3
+        from studiogan_tpu.train.convert import _sg3_layer_plan
+        cfg = _sg_cfg(backbone="stylegan3")
+        G = stylegan3.Generator(z_dim=32, c_dim=10, w_dim=32,
+                                img_resolution=32, img_channels=3,
+                                num_classes=10, mapping_layers=2,
+                                channel_base=1024, channel_max=64)
+        plan = _sg3_layer_plan(cfg, channel_base=1024, channel_max=64)
+
+        def rename(parts):
+            parts = ["affine" if p == "affine_fc" else p for p in parts]
+            return [plan[int(p[1:])] if p.startswith("L") and p[1:].isdigit()
+                    else p for p in parts]
+
+        z = jnp.zeros((2, 32))
+        y = jnp.zeros((2,), jnp.int32)
+        v = jax.device_get(G.init(
+            {"params": jax.random.PRNGKey(0),
+             "style_mix": jax.random.PRNGKey(2)}, z, y))
+        sd = _sg_inverse_sd(v, rename=rename)
+        converted, missing = convert_stylegan3_generator(
+            sd, cfg, channel_base=1024, channel_max=64)
+        assert not missing, missing
+        _assert_tree_equal(v, converted)
+        img = G.apply(converted, z, y, train=False)
+        assert img.shape == (2, 32, 32, 3)
