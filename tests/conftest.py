@@ -7,13 +7,21 @@ are exercised for real on 8 virtual devices without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if a site customization already imported jax with
+# JAX_PLATFORMS pointing at real hardware (the env var is captured at jax
+# import time, so os.environ alone is not enough — the config update below
+# works as long as no backend has initialized yet).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + str(jax.devices()[:1]))
 
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: full-train-step XLA compiles are minutes on CPU;
