@@ -1,78 +1,208 @@
-"""Benchmark: BigGAN CIFAR10-32 training throughput on one TPU chip.
+"""Benchmark: BigGAN training throughput + MFU on one TPU chip.
 
-Baseline (BASELINE.md): the reference trains BigGAN CIFAR10 bs64 at
-~2.17 steps/s on 1 GPU, where one step = 5 D updates + 1 G update
-(logs/CIFAR10/BigGAN-train-2021_01_15_14_48_48.log: 100k steps in
-12h48m).  We measure the identical workload — full train step (5 D + 1 G,
-bs64, g/d_conv_dim=96, SN + cBN + self-attention + hinge + EMA) — and
-report steps/s.
+Workloads (mirroring the reference's two headline training runs,
+BASELINE.md):
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  * CIFAR10-32 BigGAN bs64, one step = 5 D + 1 G updates.  Reference:
+    2.17 steps/s on 1 GPU (logs/CIFAR10/BigGAN-train-2021_01_15_14_48_48).
+    Measured both with pre-staged device tensors (kernel throughput) and
+    end-to-end through BasketLoader (host pipeline + transfer included).
+  * ImageNet-128 BigGAN bs64 x acml 4 (effective 256), one step =
+    1 D + 1 G update at effective batch 256.  Reference: 0.32 steps/s =
+    ~82 imgs/s on a multi-GPU DP rig (logs/IMAGENET/BigGAN256).
+
+MFU = model FLOPs/step (XLA cost analysis of the compiled step) divided
+by measured wall time and the chip's measured matmul peak.
+
+Prints ONE JSON line.  Timing gotcha: on the tunneled `axon` platform
+``block_until_ready`` measures enqueue rate, not execution — every
+window must end with a device->host VALUE fetch (CLAUDE.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_STEPS_PER_SEC = 2.17
+BASELINE_CIFAR_STEPS_PER_SEC = 2.17
+BASELINE_IMAGENET_IMGS_PER_SEC = 82.0  # 0.32 steps/s * 256 (whole DP rig)
 
 
-def main():
-    import os
+def _sync(metrics, st):
+    """Force device->host value fetch so timers measure execution."""
+    return float(metrics["d_loss"]) + float(
+        jax.tree.leaves(st.g_params)[0].ravel()[0])
 
-    from __graft_entry__ import _biggan_cfg
+
+def _measure_peak_tflops() -> float:
+    """Measured chained-matmul peak (f32 operands, default MXU precision —
+    the same regime the model's convs run in)."""
+    n = 8192
+    iters = 32
+    x = jnp.asarray(np.random.RandomState(0).randn(n, n), jnp.float32)
+    w = jnp.asarray(np.random.RandomState(1).randn(n, n), jnp.float32) * 0.01
+
+    @jax.jit
+    def chain(x, w):
+        def body(c, _):
+            c = c @ w
+            c = c * jax.lax.rsqrt(jnp.mean(jnp.square(c)) + 1e-6)
+            return c, ()
+        return jax.lax.scan(body, x, None, length=iters)[0]
+
+    out = chain(x, w)
+    float(out[0, 0])  # warm + settle
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chain(out, w)
+        float(out[0, 0])
+        dt = time.perf_counter() - t0
+        best = max(best, 2 * n * n * n * iters / dt / 1e12)
+    return best
+
+
+def _step_flops(compiled) -> float:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
+
+def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, staged=None):
+    """Compile the train step for cfg and time it.  Returns
+    (steps_per_sec, flops_per_step)."""
     from studiogan_tpu.models import build_discriminator, build_generator
     from studiogan_tpu.train import TrainEngine
 
-    cfg = _biggan_cfg()  # real BigGAN-CIFAR10 scale, bs64, 5 D updates
-    # fp32 headline for apples-to-apples with the reference's fp32 runs;
-    # STUDIOGAN_BENCH_MPC=1 measures the bf16 policy (~1.4x faster)
-    cfg.RUN.mixed_precision = os.environ.get("STUDIOGAN_BENCH_MPC") == "1"
     O = cfg.OPTIMIZATION
     G, D = build_generator(cfg), build_discriminator(cfg)
     eng = TrainEngine(cfg, G, D)
     state = eng.init_state(jax.random.PRNGKey(0))
 
     n_micro = O.d_updates_per_step * O.acml_steps
+    sz = cfg.DATA.img_size
     rng = np.random.RandomState(0)
-    imgs = jnp.asarray(rng.uniform(-1, 1, (n_micro, O.batch_size, 32, 32, 3)),
+    imgs = jnp.asarray(rng.uniform(-1, 1, (n_micro, O.batch_size, sz, sz, 3)),
                        jnp.float32)
-    labels = jnp.asarray(rng.randint(0, 10, (n_micro, O.batch_size)), jnp.int32)
+    labels = jnp.asarray(
+        rng.randint(0, cfg.DATA.num_classes, (n_micro, O.batch_size)), jnp.int32)
 
     step = jax.jit(eng.train_step, donate_argnums=0)
+    compiled = step.lower(state, imgs, labels).compile()
+    flops = _step_flops(compiled)
 
-    def sync(metrics, st):
-        # force a device->host VALUE fetch: on tunneled platforms (axon)
-        # block_until_ready returns before execution completes, so timing
-        # must gate on actual data (measured: 474 "steps/s" without the
-        # fetch vs 3.5 real steps/s)
-        return float(metrics["d_loss"]) + float(
-            jax.tree.leaves(st.g_params)[0].ravel()[0])
-
-    # warmup / compile + queue settle
-    for _ in range(3):
+    for _ in range(warmup):
         state, m = step(state, imgs, labels)
-        sync(m, state)
-
-    n_steps = 20
+        _sync(m, state)
     rates = []
-    for _ in range(3):  # best of 3 windows (tunnel timing is noisy)
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, m = step(state, imgs, labels)
-        sync(m, state)
+        _sync(m, state)
         rates.append(n_steps / (time.perf_counter() - t0))
-    steps_per_sec = max(rates)
+    return max(rates), flops
+
+
+def _bench_cifar_e2e(cfg, n_steps=20, chunk=10):
+    """End-to-end: BasketLoader (C++ assemble + prefetch thread) ->
+    chunked put_basket -> train_steps scan, exactly like the CLI train
+    loop (main.py chunked dispatch at print_freq granularity)."""
+    from studiogan_tpu.data.datasets import Dataset_
+    from studiogan_tpu.data.pipeline import BasketLoader
+    from studiogan_tpu.models import build_discriminator, build_generator
+    from studiogan_tpu.parallel.mesh import put_basket, setup_runtime
+    from studiogan_tpu.train import TrainEngine
+
+    O = cfg.OPTIMIZATION
+    G, D = build_generator(cfg), build_discriminator(cfg)
+    eng = TrainEngine(cfg, G, D)
+    state = eng.init_state(jax.random.PRNGKey(0))
+    rt = setup_runtime()
+    state = jax.device_put(state, rt.replicated)
+
+    ds = Dataset_("SYNTHETIC", None, train=True, synthetic_size=8192,
+                  num_classes=cfg.DATA.num_classes, img_size=cfg.DATA.img_size)
+    loader = BasketLoader(ds, batch_size=O.batch_size,
+                          basket_multiplier=O.d_updates_per_step * O.acml_steps,
+                          random_flip=True, seed=0, prefetch=4)
+    it = iter(loader)
+    steps_fn = jax.jit(eng.train_steps, donate_argnums=0,
+                       in_shardings=(rt.replicated, rt.basket_chunk,
+                                     rt.basket_chunk),
+                       out_shardings=(rt.replicated, rt.replicated))
+
+    def one_chunk(state):
+        baskets = [next(it) for _ in range(chunk)]
+        ci = np.stack([b[0] for b in baskets])
+        cl = np.stack([b[1] for b in baskets])
+        gi, gl = put_basket(rt, ci, cl, chunked=True)
+        return steps_fn(state, gi, gl)
+
+    state, m = one_chunk(state)  # warmup / compile
+    _sync(m, state)
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(max(1, n_steps // chunk)):
+            state, m = one_chunk(state)
+        _sync(m, state)
+        rates.append(max(1, n_steps // chunk) * chunk
+                     / (time.perf_counter() - t0))
+    loader.close()
+    return max(rates)
+
+
+def main():
+    from __graft_entry__ import _biggan_cfg
+    from studiogan_tpu.config import Configurations
+
+    mpc = os.environ.get("STUDIOGAN_BENCH_MPC") == "1"
+    results = {}
+
+    peak_tflops = _measure_peak_tflops()
+    results["measured_matmul_peak_tflops"] = round(peak_tflops, 1)
+
+    # --- CIFAR10-32 BigGAN headline (5 D + 1 G, bs64) ----------------------
+    cfg = _biggan_cfg()
+    cfg.RUN.mixed_precision = mpc
+    sps, flops = _bench_cfg_run(cfg)
+    results["cifar_steps_per_sec"] = round(sps, 3)
+    results["cifar_model_tflops_per_step"] = round(flops / 1e12, 3)
+    results["cifar_mfu"] = round(flops * sps / (peak_tflops * 1e12), 4)
+
+    # --- CIFAR end-to-end through the input pipeline -----------------------
+    results["cifar_steps_per_sec_e2e"] = round(_bench_cifar_e2e(cfg), 3)
+
+    # --- ImageNet-128 BigGAN (1 D + 1 G, bs64 x acml4 = effective 256) -----
+    icfg = Configurations(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "configs", "ImageNet", "BigGAN2048.yaml"))
+    icfg.OPTIMIZATION.batch_size = 64
+    icfg.OPTIMIZATION.acml_steps = 4
+    icfg.RUN.mixed_precision = mpc
+    icfg.finalize()
+    isps, iflops = _bench_cfg_run(icfg, n_steps=8, windows=2, warmup=2)
+    eff = icfg.OPTIMIZATION.batch_size * icfg.OPTIMIZATION.acml_steps
+    results["imagenet128_imgs_per_sec_per_chip"] = round(isps * eff, 1)
+    results["imagenet128_model_tflops_per_step"] = round(iflops / 1e12, 3)
+    results["imagenet128_mfu"] = round(
+        iflops * isps / (peak_tflops * 1e12), 4)
+    results["imagenet128_vs_reference_rig"] = round(
+        isps * eff / BASELINE_IMAGENET_IMGS_PER_SEC, 3)
+
     print(json.dumps({
         "metric": "biggan_cifar10_train_steps_per_sec",
-        "value": round(steps_per_sec, 4),
+        "value": results["cifar_steps_per_sec"],
         "unit": "steps/s (1 step = 5 D + 1 G updates, bs64)",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 4),
+        "vs_baseline": round(
+            results["cifar_steps_per_sec"] / BASELINE_CIFAR_STEPS_PER_SEC, 4),
+        **results,
     }))
 
 

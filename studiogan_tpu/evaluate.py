@@ -56,6 +56,10 @@ def evaluate(dset1: str, dset2: str, metrics: list[str],
              batch_size: int = 256, seed: int = -1, img_size: int | None = None,
              nearest_k: int = 5) -> dict:
     eval_model = LoadEvalModel(eval_backbone, post_resizer)
+    # resize+backbone forward sharded over all local devices (the
+    # reference's DDP evaluate, evaluate.py:112-164, done the SPMD way)
+    from studiogan_tpu.parallel.mesh import setup_runtime
+    rt = setup_runtime()
 
     feats1 = probs1 = mu1 = sigma1 = None
     if dset1.endswith(".npz"):
@@ -67,10 +71,10 @@ def evaluate(dset1: str, dset2: str, metrics: list[str],
     else:
         ds1 = _FlatImageDataset(dset1, img_size)
         feats1, probs1, _ = sample_images_from_loader_and_stack_features(
-            ds1, eval_model, len(ds1), batch_size)
+            ds1, eval_model, len(ds1), batch_size, rt=rt)
     ds2 = _FlatImageDataset(dset2, img_size)
     feats2, probs2, _ = sample_images_from_loader_and_stack_features(
-        ds2, eval_model, len(ds2), batch_size)
+        ds2, eval_model, len(ds2), batch_size, rt=rt)
 
     out = {}
     if "is" in metrics:

@@ -232,14 +232,38 @@ def run(argv=None):
         if cfg.RUN.profile:
             jax.profiler.start_trace(os.path.join(cfg.RUN.save_dir, "profile"))
         last_log_t, last_log_step = time(), step0
-        for _ in range(step0, O.total_steps):
-            imgs, labels = next(it)
-            gi, gl = put_basket(rt, imgs, labels)
-            state, metrics = step_fn(state, gi, gl)
-            cur = int(state.step)
-            if cur == profile_until:
+
+        # chunked dispatch: print_freq steps per device program (one
+        # lax.scan over train_step + ONE host->device basket transfer),
+        # amortizing dispatch/transfer latency that a per-step loop pays
+        # every step (the reference pays a full worker-loop round trip per
+        # step, loader.py:392-398).  save_freq % print_freq == 0 is
+        # enforced by the config contract, so save boundaries align.
+        chunk = 1 if cfg.RUN.profile else max(1, min(
+            cfg.RUN.print_freq, O.total_steps - step0))
+        steps_fn = (jax.jit(eng.train_steps, donate_argnums=0,
+                            in_shardings=(rt.replicated, rt.basket_chunk,
+                                          rt.basket_chunk),
+                            out_shardings=(rt.replicated, rt.replicated))
+                    if chunk > 1 else None)
+        cur = step0
+        while cur < O.total_steps:
+            n = min(chunk, O.total_steps - cur)
+            if n > 1:
+                baskets = [next(it) for _ in range(n)]
+                ci = np.stack([b[0] for b in baskets])
+                cl = np.stack([b[1] for b in baskets])
+                gi, gl = put_basket(rt, ci, cl, chunked=True)
+                state, metrics = steps_fn(state, gi, gl)
+            else:
+                imgs, labels = next(it)
+                gi, gl = put_basket(rt, imgs, labels)
+                state, metrics = step_fn(state, gi, gl)
+            cur += n
+            if profile_until >= 0 and cur >= profile_until:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
+                profile_until = -1
                 logger.info("Profiler trace written to %s",
                             os.path.join(cfg.RUN.save_dir, "profile"))
             if cur % cfg.RUN.print_freq == 0:

@@ -2,7 +2,11 @@
 
 Under GSPMD the reference's GatherLayer all_gathers (features.py:61-64)
 are unnecessary: generation + backbone forward run as one sharded
-program and features land replicated on host.
+program and features land replicated on host.  With the legacy (on-device)
+resizer the whole generate -> quantize -> resize -> backbone chain is ONE
+jitted SPMD program over the mesh (``make_fused_extractor``) — no host
+round-trip per batch, matching the reference's DDP feature extraction
+capability (features.py:61-64) the TPU way.
 """
 
 from __future__ import annotations
@@ -10,24 +14,59 @@ from __future__ import annotations
 import math
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def make_fused_extractor(engine, eval_model, batch_size: int, rt,
+                         override_g_state=None):
+    """One jitted SPMD program: z/y sampling -> G (EMA weights) ->
+    quantize -> legacy resize -> backbone forward, batch axis sharded over
+    the mesh.  Requires eval_model.post_resizer == 'legacy' (the PIL
+    clean/friendly resizers are host-side by design)."""
+
+    def step(state, k):
+        imgs, labs = engine.generate(
+            state, k, batch_size,
+            truncation_factor=engine.cfg.RUN.truncation_factor,
+            override_g_state=override_g_state)
+        imgs = jax.lax.with_sharding_constraint(imgs, rt.batch)
+        # quantize_images semantics on device: uint8 cast == floor here
+        x = jnp.floor(jnp.clip(255.0 * (imgs + 1.0) / 2.0 + 0.5, 0.0, 255.0))
+        resized = eval_model.resizer.batch(x)
+        feats, logits = eval_model._forward(resized)
+        return feats, logits, labs
+
+    return jax.jit(step, in_shardings=(rt.replicated, rt.replicated),
+                   out_shardings=(rt.replicated,) * 3)
 
 
 def generate_images_and_stack_features(engine, state, eval_model,
                                        num_generate: int, batch_size: int,
                                        rng, quantize: bool = True,
-                                       override_g_state=None):
+                                       override_g_state=None, rt=None):
     """reference features.py:17-65: loop G -> backbone, stack feats/probs."""
     feats, probs, labels = [], [], []
     n_batches = math.ceil(num_generate / batch_size)
+    fused = None
+    if (rt is not None and quantize
+            and batch_size % rt.num_devices == 0
+            and eval_model.post_resizer == "legacy"
+            and not engine.cfg.RUN.langevin_sampling):
+        fused = make_fused_extractor(engine, eval_model, batch_size, rt,
+                                     override_g_state=override_g_state)
     for i in range(n_batches):
         rng, k = jax.random.split(rng)
-        imgs, labs = engine.generate(
-            state, k, batch_size,
-            truncation_factor=engine.cfg.RUN.truncation_factor,
-            override_g_state=override_g_state)
-        f, logit = eval_model.get_outputs(np.asarray(jax.device_get(imgs)),
-                                          quantize=quantize)
+        if fused is not None:
+            f, logit, labs = fused(state, k)
+            f, logit = np.asarray(f), np.asarray(logit)
+        else:
+            imgs, labs = engine.generate(
+                state, k, batch_size,
+                truncation_factor=engine.cfg.RUN.truncation_factor,
+                override_g_state=override_g_state)
+            f, logit = eval_model.get_outputs(np.asarray(jax.device_get(imgs)),
+                                              quantize=quantize)
         feats.append(f)
         probs.append(_softmax(logit))
         labels.append(np.asarray(jax.device_get(labs)))
@@ -39,16 +78,32 @@ def generate_images_and_stack_features(engine, state, eval_model,
 
 def sample_images_from_loader_and_stack_features(dataset, eval_model,
                                                  num_feats: int,
-                                                 batch_size: int):
+                                                 batch_size: int, rt=None):
     """reference features.py:68-104 / stack_features:107-142: real-data
-    features straight from a dataset (uint8 HWC)."""
+    features straight from a dataset (uint8 HWC).
+
+    With ``rt`` and the legacy resizer the resize+forward runs batch-
+    sharded over the mesh (the reference's DDP evaluate path,
+    evaluate.py:112-164, re-expressed as SPMD)."""
     feats, probs, labels = [], [], []
     n = min(num_feats, len(dataset))
+    sharded = rt is not None and eval_model.post_resizer == "legacy"
     for start in range(0, n, batch_size):
         idx = range(start, min(start + batch_size, n))
         batch = np.stack([dataset[i][0] for i in idx])
         labs = np.asarray([dataset[i][1] for i in idx])
-        f, logit = eval_model.get_outputs(batch, quantize=False)
+        if sharded:
+            x = batch.astype(np.float32)
+            pad = (-len(x)) % rt.num_devices
+            if pad:
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            xg = jax.device_put(x, rt.batch)
+            resized = eval_model.resizer.batch(xg)
+            f, logit = eval_model._forward(resized)
+            f = np.asarray(f)[:len(batch)]
+            logit = np.asarray(logit)[:len(batch)]
+        else:
+            f, logit = eval_model.get_outputs(batch, quantize=False)
         feats.append(f)
         probs.append(_softmax(logit))
         labels.append(labs)

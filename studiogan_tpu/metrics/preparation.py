@@ -203,6 +203,7 @@ class Evaluator:
     def __init__(self, cfg, rt=None, eval_dataset_kwargs: dict | None = None,
                  num_generate: int | None = None, nearest_k: int = 5):
         self.cfg = cfg
+        self.rt = rt  # mesh runtime: enables the fused sharded extractor
         self.eval_model = LoadEvalModel(cfg.RUN.eval_backbone,
                                         cfg.RUN.post_resizer)
         from studiogan_tpu.data import Dataset_
@@ -235,7 +236,7 @@ class Evaluator:
             return
         feats, probs, labels = feats_mod.sample_images_from_loader_and_stack_features(
             self.ref_dataset, self.eval_model, self.num_generate,
-            batch_size=min(self.cfg.OPTIMIZATION.batch_size, 256))
+            batch_size=min(self.cfg.OPTIMIZATION.batch_size, 256), rt=self.rt)
         self._mu, self._sigma = fid_mod.compute_moments(feats)
         self._real_feats, self._real_probs = feats, probs
         if not self.eval_model.random_weights:
@@ -263,7 +264,7 @@ class Evaluator:
         fake_feats, fake_probs, _ = feats_mod.generate_images_and_stack_features(
             engine, state, self.eval_model, self.num_generate,
             batch_size=min(self.cfg.OPTIMIZATION.batch_size, 256), rng=rng,
-            override_g_state=override_g_state)
+            override_g_state=override_g_state, rt=self.rt)
         out = {}
         if "fid" in metrics:
             out["fid"] = fid_mod.calculate_fid(self._mu, self._sigma, fake_feats)

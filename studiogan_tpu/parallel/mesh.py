@@ -32,8 +32,11 @@ class Runtime:
     replicated: NamedSharding
     batch: NamedSharding          # shard dim 0 over 'data'
     basket: NamedSharding         # (n_micro, B, ...): shard dim 1
+    basket_chunk: NamedSharding   # (n_steps, n_micro, B, ...): shard dim 2
     process_index: int
     process_count: int
+    model_size: int = 1           # size of the 'model' (tensor-parallel) axis
+    tp_min_size: int = 65536      # smallest leaf worth sharding over 'model'
 
     @property
     def num_devices(self) -> int:
@@ -43,9 +46,42 @@ class Runtime:
         assert global_batch % self.process_count == 0
         return global_batch // self.process_count
 
+    # -- tensor parallelism -------------------------------------------------
+
+    def param_spec(self, leaf, min_size: int | None = None) -> P:
+        """Weight-stationary TP rule: shard a large parameter's widest
+        weight dimension over the 'model' axis (conv HWIO -> O, dense
+        (in,out) -> out, falling back to dim 0), replicate everything
+        small (biases, BN vectors, SN u/v, scalars).  GSPMD inserts the
+        matching all-gathers/reduce-scatters; on a mesh laid out so
+        'model' rides ICI neighbors these are the cheap collectives."""
+        shape = getattr(leaf, "shape", ())
+        if min_size is None:
+            min_size = self.tp_min_size
+        if self.model_size == 1 or not shape or leaf.size < min_size:
+            return P()
+        if shape[-1] % self.model_size == 0:
+            return P(*([None] * (len(shape) - 1)), "model")
+        if shape[0] % self.model_size == 0:
+            return P("model", *([None] * (len(shape) - 1)))
+        return P()
+
+    def state_sharding(self, state):
+        """NamedSharding tree for a whole TrainState (params, optimizer
+        moments, EMA copies all follow the same per-leaf rule; everything
+        else replicated)."""
+        return jax.tree.map(
+            lambda leaf: NamedSharding(self.mesh, self.param_spec(leaf)),
+            state)
+
 
 def setup_runtime(total_nodes: int = 1, current_node: int = 0,
-                  coordinator: str | None = None) -> Runtime:
+                  coordinator: str | None = None,
+                  model_axis: int = 1) -> Runtime:
+    """model_axis > 1 carves a 'model' (tensor-parallel) axis out of the
+    device array: mesh (n/model_axis, model_axis) with axes
+    ('data', 'model').  The trailing mesh dimension maps to neighboring
+    devices, keeping TP collectives on the fastest links."""
     if total_nodes > 1 or os.environ.get("JAX_COORDINATOR_ADDRESS") or coordinator:
         jax.distributed.initialize(
             coordinator_address=coordinator or os.environ.get(
@@ -53,26 +89,36 @@ def setup_runtime(total_nodes: int = 1, current_node: int = 0,
             num_processes=int(os.environ.get("JAX_NUM_PROCESSES", total_nodes)),
             process_id=int(os.environ.get("JAX_PROCESS_ID", current_node)))
     devices = np.array(jax.devices())
-    mesh = Mesh(devices, ("data",))
+    if model_axis > 1:
+        assert len(devices) % model_axis == 0, (len(devices), model_axis)
+        mesh = Mesh(devices.reshape(-1, model_axis), ("data", "model"))
+    else:
+        mesh = Mesh(devices, ("data",))
     return Runtime(
         mesh=mesh,
         replicated=NamedSharding(mesh, P()),
         batch=NamedSharding(mesh, P("data")),
         basket=NamedSharding(mesh, P(None, "data")),
+        basket_chunk=NamedSharding(mesh, P(None, None, "data")),
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        model_size=model_axis,
     )
 
 
-def put_basket(rt: Runtime, imgs, labels) -> tuple[Any, Any]:
+def put_basket(rt: Runtime, imgs, labels, chunked: bool = False) -> tuple[Any, Any]:
     """Host numpy basket -> device, batch axis sharded over the mesh.
+
+    ``chunked``: a whole chunk of baskets (n_steps, n_micro, B, ...) moved
+    in ONE transfer — amortizes per-call host->device latency over
+    n_steps train steps (feeds TrainEngine.train_steps).
 
     Multi-host: each process provides its local shard;
     ``jax.make_array_from_process_local_data`` assembles the global view.
     """
+    sh = rt.basket_chunk if chunked else rt.basket
     if rt.process_count == 1:
-        return (jax.device_put(imgs, rt.basket),
-                jax.device_put(labels, rt.basket))
-    gi = jax.make_array_from_process_local_data(rt.basket, imgs)
-    gl = jax.make_array_from_process_local_data(rt.basket, labels)
+        return jax.device_put(imgs, sh), jax.device_put(labels, sh)
+    gi = jax.make_array_from_process_local_data(sh, imgs)
+    gl = jax.make_array_from_process_local_data(sh, labels)
     return gi, gl

@@ -463,25 +463,25 @@ class TrainEngine:
     # -- standing statistics (reference misc.py:301-340) --------------------
 
     def prepare_standing_state(self, state: GANTrainState, rng: Array):
-        """Re-estimate BN moments of the eval generator by averaging batch
-        moments over `standing_step` random-size batches.  Returns a
+        """Re-estimate BN moments of the eval generator over
+        `standing_step` random-size batches (reference
+        misc.apply_standing_statistics, misc.py:301-333: reset running
+        stats, then let torch BN's momentum-0.1 EMA accumulate over
+        random.randint(1, max_batch)-sized forward passes).  Returns a
         g_state to pass to generate(override_g_state=...).
 
-        Batch moments are recovered algebraically from one EMA update off
-        a reset state (momentum m: batch = (new - (1-m)*reset)/m), so no
-        module plumbing for a 'cumulative' mode is needed; batch sizes
-        are bucketed to powers of two to bound recompilation."""
-        import random as _pyrandom
-
+        Per-batch moments are recovered algebraically from one EMA update
+        off a reset state (momentum m: batch = (new - (1-m)*reset)/m) and
+        re-accumulated with the reference's momentum EMA, so no module
+        plumbing for a 'cumulative' mode is needed.  Batch sizes come from
+        ``rng`` uniformly over [1, standing_max_batch] rounded up to
+        powers of two — bucketing keeps the number of distinct XLA
+        compilations at log2(max_batch) instead of standing_step."""
         R, m = self.cfg.RUN, 0.1
         g_params = state.ema_or_g_params
         base_state = jax.device_get(state.ema_or_g_state)
         if "batch_stats" not in base_state:
             return state.ema_or_g_state  # no BN (stylegan): no-op
-
-        def reset(tree, is_var):
-            return jax.tree.map(
-                lambda x: jnp.ones_like(x) if is_var else jnp.zeros_like(x), tree)
 
         bs_buckets = sorted({2 ** i for i in range(0, 12)
                              if 2 ** i <= R.standing_max_batch} | {1})
@@ -490,10 +490,14 @@ class TrainEngine:
             if str(getattr(p[-1], "key", "")) == "var" else jnp.zeros_like(x),
             base_state["batch_stats"])
 
-        acc = None
+        def is_moment(path):
+            return str(getattr(path[-1], "key", "")) in ("mean", "var")
+
+        running = reset_bs  # mean=0 / var=1, as torch reset_running_stats
         for i in range(R.standing_step):
-            rng, k1, k2 = jax.random.split(rng, 3)
-            bs = bs_buckets[_pyrandom.Random(i).randrange(len(bs_buckets))]
+            rng, k1, k2, k3 = jax.random.split(rng, 4)
+            draw = int(jax.random.randint(k3, (), 1, R.standing_max_batch + 1))
+            bs = next(b for b in bs_buckets if b >= draw)
             z = jax.random.normal(k1, (bs, self.M.z_dim + _info_extra_dim(self.M)))
             y = jax.random.randint(k2, (bs,), 0, self.cfg.DATA.num_classes)
             gstate_i = {**base_state, "batch_stats": reset_bs}
@@ -501,12 +505,14 @@ class TrainEngine:
                                          mutable=("batch_stats",), rng=rng)
             batch_moments = jax.tree_util.tree_map_with_path(
                 lambda p, new, init: (new - (1 - m) * init) / m
-                if str(getattr(p[-1], "key", "")) in ("mean", "var")
-                else new,
+                if is_moment(p) else new,
                 new_state["batch_stats"], reset_bs)
-            acc = batch_moments if acc is None else _tree_add(acc, batch_moments)
-        standing = _tree_scale(acc, 1.0 / R.standing_step)
-        return {**base_state, "batch_stats": standing}
+            # torch BN momentum EMA: running = (1-m)*running + m*batch
+            running = jax.tree_util.tree_map_with_path(
+                lambda p, run, batch: (1 - m) * run + m * batch
+                if is_moment(p) else batch,
+                running, batch_moments)
+        return {**base_state, "batch_stats": running}
 
     # -- stylegan lazy regularizer steps ------------------------------------
 
@@ -532,20 +538,30 @@ class TrainEngine:
                 return out["adv_output"]
 
             pen = L.stylegan_cal_r1_reg(d_adv, imgs)
-            return pen * (SG.d_reg_interval * Ls.r1_lambda / ac)
+            # the reference also accumulates the ADA sign heuristic from the
+            # R1 forward's adv outputs (worker.py:469-475)
+            adv = jax.lax.stop_gradient(d_adv(imgs))
+            aux = jnp.stack([jnp.sum(jnp.sign(adv)),
+                             jnp.asarray(adv.shape[0], jnp.float32)])
+            return pen * (SG.d_reg_interval * Ls.r1_lambda / ac), aux
 
         def body(carry, micro):
-            grads_acc = carry
+            grads_acc, sign_acc = carry
             mi, ml, k = micro
-            grads = jax.grad(r1_loss)(st.d_params, mi, ml, k)
-            return _tree_add(grads_acc, grads), None
+            (_, aux), grads = jax.value_and_grad(r1_loss, has_aux=True)(
+                st.d_params, mi, ml, k)
+            return (_tree_add(grads_acc, grads), sign_acc + aux), None
 
         ks = jax.random.split(step_rng, ac)
-        grads, _ = jax.lax.scan(body, _tree_zeros_like(st.d_params),
-                                (micro_imgs, micro_labs, ks))
+        (grads, sign_acc), _ = jax.lax.scan(
+            body, (_tree_zeros_like(st.d_params), jnp.zeros(2)),
+            (micro_imgs, micro_labs, ks))
         updates, d_opt = self.d_tx.update(grads, st.d_opt, st.d_params)
+        ada_stats = st.ada_stats
+        if self.A.apply_ada or self.A.apply_apa:
+            ada_stats = ada_stats + sign_acc
         return st.replace(d_params=optax.apply_updates(st.d_params, updates),
-                          d_opt=d_opt, rng=rng)
+                          d_opt=d_opt, rng=rng, ada_stats=ada_stats)
 
     def _lazy_pl_step(self, st: GANTrainState) -> GANTrainState:
         """Path-length regularization: its own optimizer step at
@@ -724,6 +740,12 @@ class TrainEngine:
                     r1_gate > 0,
                     lambda s: self._lazy_r1_step(s, micro_imgs, micro_labs),
                     lambda s: s, st)
+
+            # ADA / APA p-controller: per D update on qualifying steps,
+            # with the stats accumulated since the last adjustment
+            # (reference worker.py:479-487 — the adjust block sits inside
+            # the step_index loop)
+            st = self._aa_adjust(st)
             return (st, stats), None
 
         (state, d_stats), _ = jax.lax.scan(
@@ -733,19 +755,24 @@ class TrainEngine:
                          count=jnp.asarray(0.0))),
             (imgs, labs, jnp.arange(du)))
 
-        # ---------------- ADA / APA controller ----------------
-        # (reference worker.py:477-487; adjusted once per qualifying step
-        # with the stats accumulated since the last adjustment)
-        if (self.A.apply_ada or self.A.apply_apa) and self.aa_target not in (NA, None):
-            do_adjust = (state.step % self.aa_interval) == 0
-            heuristic = state.ada_stats[0] / jnp.maximum(state.ada_stats[1], 1.0)
-            adjust = (jnp.sign(heuristic - self.aa_target)
-                      * state.ada_stats[1] / (self.aa_kimg * 1000.0))
-            new_p = jnp.clip(state.ada_p + adjust, 0.0, 1.0)
-            state = state.replace(
-                ada_p=jnp.where(do_adjust, new_p, state.ada_p),
-                ada_stats=jnp.where(do_adjust, jnp.zeros(2), state.ada_stats))
         return state, d_stats
+
+    def _aa_adjust(self, st: GANTrainState) -> GANTrainState:
+        """One ADA/APA p adjustment from the accumulated sign heuristic
+        (reference worker.py:479-487): on steps hitting aa_interval, move p
+        by sign(heuristic - target) * count / (aa_kimg * 1000) and reset the
+        accumulator.  Called once per D update, like the reference."""
+        if not ((self.A.apply_ada or self.A.apply_apa)
+                and self.aa_target not in (NA, None)):
+            return st
+        do_adjust = (st.step % self.aa_interval) == 0
+        heuristic = st.ada_stats[0] / jnp.maximum(st.ada_stats[1], 1.0)
+        adjust = (jnp.sign(heuristic - self.aa_target)
+                  * st.ada_stats[1] / (self.aa_kimg * 1000.0))
+        new_p = jnp.clip(st.ada_p + adjust, 0.0, 1.0)
+        return st.replace(
+            ada_p=jnp.where(do_adjust, new_p, st.ada_p),
+            ada_stats=jnp.where(do_adjust, jnp.zeros(2), st.ada_stats))
 
     def _g_phase(self, state: GANTrainState, imgs: Array, labs: Array):
         O, ac = self.O, self.O.acml_steps

@@ -176,3 +176,95 @@ class TestFreezeD:
         moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                              d0["block1"], state1.d_params["block1"])
         assert max(jax.tree.leaves(moved)) > 0.0
+
+
+class TestADAController:
+    """p-controller semantics (reference worker.py:479-487): adjusted per
+    D update on qualifying steps, from the sign heuristic accumulated
+    since the last adjustment."""
+
+    def _ada_cfg(self, **over):
+        return tiny_biggan_cfg(**{
+            "AUG.apply_ada": True, "AUG.ada_aug_type": "bgc",
+            "AUG.ada_initial_augment_p": 0.0, "AUG.ada_target": 0.6,
+            "AUG.ada_kimg": 1, "AUG.ada_interval": 1, **over})
+
+    def test_aa_adjust_unit(self):
+        cfg = self._ada_cfg(**{"AUG.ada_interval": 4})
+        G, D = build_generator(cfg), build_discriminator(cfg)
+        eng = TrainEngine(cfg, G, D)
+        st = eng.init_state(jax.random.PRNGKey(0))
+
+        # qualifying step (0 % 4 == 0), heuristic 1.0 > target 0.6:
+        # p += count / (kimg*1000), stats reset
+        st_q = st.replace(ada_stats=jnp.asarray([8.0, 8.0]),
+                          ada_p=jnp.asarray(0.5))
+        out = eng._aa_adjust(st_q)
+        np.testing.assert_allclose(float(out.ada_p), 0.5 + 8 / 1000.0)
+        np.testing.assert_allclose(np.asarray(out.ada_stats), [0.0, 0.0])
+
+        # heuristic below target: p decreases (clipped at 0)
+        st_dn = st.replace(ada_stats=jnp.asarray([-8.0, 8.0]),
+                           ada_p=jnp.asarray(0.002))
+        out = eng._aa_adjust(st_dn)
+        np.testing.assert_allclose(float(out.ada_p), 0.0)
+
+        # non-qualifying step: untouched, stats keep accumulating
+        st_nq = st.replace(step=jnp.asarray(3, jnp.int32),
+                           ada_stats=jnp.asarray([5.0, 8.0]),
+                           ada_p=jnp.asarray(0.5))
+        out = eng._aa_adjust(st_nq)
+        np.testing.assert_allclose(float(out.ada_p), 0.5)
+        np.testing.assert_allclose(np.asarray(out.ada_stats), [5.0, 8.0])
+
+    def test_per_update_granularity_in_step(self):
+        """With aa_interval=1 and d_updates=2, each D update adjusts with
+        its own batch's stats (count=B per adjustment), so the accumulator
+        is empty after the step and p moved by a multiple of B/(kimg*1000),
+        at most d_updates steps of it."""
+        cfg = self._ada_cfg()
+        _, state, metrics = run_steps(cfg, 1)
+        np.testing.assert_allclose(np.asarray(state.ada_stats), [0.0, 0.0])
+        unit = cfg.OPTIMIZATION.batch_size / 1000.0
+        k = float(state.ada_p) / unit
+        assert abs(k - round(k)) < 1e-4, (float(state.ada_p), unit)
+        assert abs(round(k)) <= cfg.OPTIMIZATION.d_updates_per_step
+
+
+class TestTensorParallel:
+    def test_dp_tp_mesh_matches_dp_only(self):
+        """2D (data x model) mesh: big weights sharded over 'model', batch
+        over 'data'.  One train step must match the DP-only result (GSPMD
+        inserts the TP collectives; math is identical)."""
+        from studiogan_tpu.parallel.mesh import setup_runtime
+
+        cfg = tiny_biggan_cfg(**{"MODEL.g_conv_dim": 16,
+                                 "MODEL.d_conv_dim": 16})
+        imgs, labels = make_basket(cfg)
+
+        def one_step(model_axis):
+            rt = setup_runtime(model_axis=model_axis)
+            rt.tp_min_size = 1024  # tiny model: shard anything substantial
+            G, D = build_generator(cfg), build_discriminator(cfg)
+            eng = TrainEngine(cfg, G, D)
+            state = eng.init_state(jax.random.PRNGKey(0))
+            sh = rt.state_sharding(state)
+            if model_axis > 1:  # something really is model-sharded
+                assert any("model" in tuple(s.spec) for s in
+                           jax.tree.leaves(sh) if hasattr(s, "spec"))
+            state = jax.device_put(state, sh)
+            step = jax.jit(eng.train_step,
+                           in_shardings=(sh, rt.basket, rt.basket),
+                           out_shardings=(sh, rt.replicated))
+            state, metrics = step(state,
+                                  jax.device_put(imgs, rt.basket),
+                                  jax.device_put(labels, rt.basket))
+            fp = sum(float(jnp.abs(p).sum())
+                     for p in jax.tree.leaves(state.g_params))
+            return float(metrics["d_loss"]), float(metrics["g_loss"]), fp
+
+        d2, g2, fp2 = one_step(2)
+        d1, g1, fp1 = one_step(1)
+        np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(fp2, fp1, rtol=1e-5)

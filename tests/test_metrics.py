@@ -209,6 +209,32 @@ class TestEvaluatorEndToEnd:
                                "density", "coverage"}
 
 
+class TestFusedShardedExtraction:
+    def test_fused_matches_host_path(self, tmp_path):
+        """The one-program generate->quantize->resize->backbone SPMD path
+        (features.make_fused_extractor) must produce the same features as
+        the per-batch host loop."""
+        from tests.test_engine import tiny_biggan_cfg, run_steps
+        from studiogan_tpu.metrics import features as feats_mod
+        from studiogan_tpu.metrics.preparation import LoadEvalModel
+        from studiogan_tpu.parallel.mesh import setup_runtime
+
+        cfg = tiny_biggan_cfg()
+        cfg.RUN.save_dir = str(tmp_path)
+        assert cfg.RUN.post_resizer == "legacy"
+        eng, state, _ = run_steps(cfg, 1)
+        em = LoadEvalModel("InceptionV3_tf", "legacy")
+        rt = setup_runtime()
+        rng = jax.random.PRNGKey(3)
+        f_host, p_host, l_host = feats_mod.generate_images_and_stack_features(
+            eng, state, em, num_generate=16, batch_size=8, rng=rng)
+        f_dev, p_dev, l_dev = feats_mod.generate_images_and_stack_features(
+            eng, state, em, num_generate=16, batch_size=8, rng=rng, rt=rt)
+        np.testing.assert_array_equal(l_host, l_dev)
+        np.testing.assert_allclose(f_host, f_dev, atol=2e-4)
+        np.testing.assert_allclose(p_host, p_dev, atol=2e-5)
+
+
 class TestTF13IS:
     def test_tf1_resize_bilinear_asymmetric_semantics(self):
         """TF1.x ResizeBilinear uses src = dst * in/out (no half-pixel

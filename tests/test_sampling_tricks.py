@@ -100,3 +100,58 @@ class TestLatentOptimise:
         assert np.isfinite(float(m_on["d_loss"]))
         assert abs(float(m_on["d_loss"]) - float(m_off["d_loss"])) > 1e-7
         assert abs(float(m_on["g_loss"]) - float(m_off["g_loss"])) > 1e-7
+
+
+class TestStandingStatistics:
+    """reference misc.apply_standing_statistics (misc.py:301-333): reset BN
+    running stats, then accumulate momentum-0.1 EMAs over random-size
+    generator forward passes."""
+
+    def test_standing_state_momentum_ema(self):
+        cfg = tiny_biggan_cfg(**{"RUN.standing_statistics": True,
+                                 "RUN.standing_max_batch": 8,
+                                 "RUN.standing_step": 3})
+        eng, state, _ = run_steps(cfg, 1)
+        k = jax.random.PRNGKey(5)
+        standing = eng.prepare_standing_state(state, k)
+        base = jax.device_get(state.ema_or_g_state)
+
+        flat_s = {jax.tree_util.keystr(p): np.asarray(x) for p, x in
+                  jax.tree_util.tree_leaves_with_path(standing["batch_stats"])}
+        flat_b = {jax.tree_util.keystr(p): np.asarray(x) for p, x in
+                  jax.tree_util.tree_leaves_with_path(base["batch_stats"])}
+        assert set(flat_s) == set(flat_b)
+        moved = False
+        for key in flat_s:
+            assert np.isfinite(flat_s[key]).all(), key
+            if "var" in key:
+                assert (flat_s[key] > 0).all(), key
+            if "mean" in key or "var" in key:
+                moved |= bool(np.abs(flat_s[key] - flat_b[key]).max() > 1e-6)
+        assert moved, "standing stats identical to training running stats"
+
+        # deterministic in rng; different rng -> different batch-size draws
+        again = eng.prepare_standing_state(state, k)
+        other = eng.prepare_standing_state(state, jax.random.PRNGKey(6))
+        s0 = jax.tree.leaves(standing["batch_stats"])
+        np.testing.assert_allclose(np.asarray(s0[0]),
+                                   np.asarray(jax.tree.leaves(again["batch_stats"])[0]))
+        diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in zip(s0, jax.tree.leaves(other["batch_stats"]))]
+        assert max(diffs) > 0
+
+    def test_single_step_ema_discount(self):
+        """standing_step=1: running = 0.9*reset + 0.1*batch, so the var
+        leaves must sit near 0.9 (reset var 1 dominates)."""
+        cfg = tiny_biggan_cfg(**{"RUN.standing_statistics": True,
+                                 "RUN.standing_max_batch": 8,
+                                 "RUN.standing_step": 1})
+        eng, state, _ = run_steps(cfg, 1)
+        standing = eng.prepare_standing_state(state, jax.random.PRNGKey(0))
+        for p, x in jax.tree_util.tree_leaves_with_path(
+                standing["batch_stats"]):
+            if str(getattr(p[-1], "key", "")) == "var":
+                # 0.9*1 floor from the reset var; batch var adds >= 0
+                v = np.asarray(x)
+                assert (v > 0.85).all(), \
+                    (jax.tree_util.keystr(p), v.min(), v.max())

@@ -39,6 +39,7 @@ def sg2_cfg():
     cfg.STYLEGAN.pl_weight = 2.0
     cfg.STYLEGAN.d_architecture = "orig"
     cfg.STYLEGAN.d_epilogue_mbstd_group_size = 4
+    cfg.RUN.train = True  # the compat contract requires -t or -ckpt
     cfg.finalize()
     cfg.check_compatability()
     return cfg
