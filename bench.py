@@ -131,18 +131,17 @@ def _bench_cifar_e2e(cfg, n_steps=20, chunk=10):
                   num_classes=cfg.DATA.num_classes, img_size=cfg.DATA.img_size)
     loader = BasketLoader(ds, batch_size=O.batch_size,
                           basket_multiplier=O.d_updates_per_step * O.acml_steps,
-                          random_flip=True, seed=0, prefetch=4)
-    it = iter(loader)
+                          random_flip=True, seed=0, prefetch=4,
+                          raw_uint8=True)
+    from studiogan_tpu.data.pipeline import DevicePrefetcher
+    dev_it = iter(DevicePrefetcher(loader, rt, chunk))
     steps_fn = jax.jit(eng.train_steps, donate_argnums=0,
                        in_shardings=(rt.replicated, rt.basket_chunk,
                                      rt.basket_chunk),
                        out_shardings=(rt.replicated, rt.replicated))
 
     def one_chunk(state):
-        baskets = [next(it) for _ in range(chunk)]
-        ci = np.stack([b[0] for b in baskets])
-        cl = np.stack([b[1] for b in baskets])
-        gi, gl = put_basket(rt, ci, cl, chunked=True)
+        gi, gl = next(dev_it)
         return steps_fn(state, gi, gl)
 
     state, m = one_chunk(state)  # warmup / compile

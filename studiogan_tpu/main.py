@@ -150,7 +150,8 @@ def run(argv=None):
         train_ds, batch_size=rt.local_batch(O.batch_size),
         basket_multiplier=O.d_updates_per_step * O.acml_steps,
         random_flip=cfg.PRE.apply_rflip, seed=seed,
-        process_index=rt.process_index, process_count=rt.process_count)
+        process_index=rt.process_index, process_count=rt.process_count,
+        raw_uint8=True)  # normalize on device: 4x less H2D traffic
 
     # ---- models + engine ----------------------------------------------------
     from studiogan_tpu.models import build_discriminator, build_generator
@@ -246,18 +247,24 @@ def run(argv=None):
                                           rt.basket_chunk),
                             out_shardings=(rt.replicated, rt.replicated))
                     if chunk > 1 else None)
+        from studiogan_tpu.data.pipeline import DevicePrefetcher
+        dev_pf = DevicePrefetcher(loader, rt, chunk)
+        dev_it = iter(dev_pf)
         cur = step0
         while cur < O.total_steps:
             n = min(chunk, O.total_steps - cur)
-            if n > 1:
-                baskets = [next(it) for _ in range(n)]
-                ci = np.stack([b[0] for b in baskets])
-                cl = np.stack([b[1] for b in baskets])
-                gi, gl = put_basket(rt, ci, cl, chunked=True)
+            if n == chunk and chunk > 1:
+                gi, gl = next(dev_it)  # transferred on the prefetch thread
                 state, metrics = steps_fn(state, gi, gl)
+            elif n > 1:  # tail chunk: shorter scan, compiled once
+                baskets = [next(it) for _ in range(n)]
+                gi, gl = put_basket(rt, np.stack([b[0] for b in baskets]),
+                                    np.stack([b[1] for b in baskets]),
+                                    chunked=True)
+                state, metrics = jax.jit(eng.train_steps)(state, gi, gl)
             else:
-                imgs, labels = next(it)
-                gi, gl = put_basket(rt, imgs, labels)
+                gi, gl = (next(dev_it) if chunk == 1
+                          else put_basket(rt, *next(it)))
                 state, metrics = step_fn(state, gi, gl)
             cur += n
             if profile_until >= 0 and cur >= profile_until:
@@ -304,6 +311,7 @@ def run(argv=None):
         ckpt_util.save_ckpt(ckpt_dir, state, dict(
             seed=seed, run_name=run_name, best_fid=best_fid,
             best_step=best_step), when="current")
+        dev_pf.close()
         loader.close()
         curve = stats.plot_curves(os.path.join(
             cfg.RUN.save_dir, "figures", run_name, "train_curves.png"))

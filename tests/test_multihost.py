@@ -53,7 +53,9 @@ def dist_results(tmp_path_factory):
              str(pid), "2", str(port), str(workdir)],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    # generous: under a full-suite run the children compile while every
+    # core is busy with other tests' XLA compiles
+    outs = [p.communicate(timeout=3600)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"child failed:\n{out[-4000:]}"
     results = []
