@@ -138,7 +138,7 @@ def _load_cifar(name: str, data_dir: str | None, train: bool):
         for t in (tgz, alt):
             if t.exists():
                 with tarfile.open(t) as tf:
-                    tf.extractall(base)
+                    tf.extractall(base, filter="data")
                 break
     if not root.exists():
         raise FileNotFoundError(
