@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _cfg(batch=64, acml=4, mpc=False, attn=True, sn=True):
+def _cfg(batch=64, acml=4, mpc=False, attn=True, sn=True, remat=False):
     from studiogan_tpu.config import Configurations
     cfg = Configurations(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -28,19 +28,20 @@ def _cfg(batch=64, acml=4, mpc=False, attn=True, sn=True):
     cfg.OPTIMIZATION.batch_size = batch
     cfg.OPTIMIZATION.acml_steps = acml
     cfg.RUN.mixed_precision = mpc
+    cfg.RUN.remat = remat
     cfg.MODEL.apply_attn = attn
     cfg.MODEL.apply_g_sn = cfg.MODEL.apply_d_sn = sn
     cfg.finalize()
     return cfg
 
 
-def bench_cfg(cfg, n_steps=6, windows=2, warmup=2, label=""):
+def bench_cfg(cfg, n_steps=6, windows=2, warmup=2, label="", unroll=False):
     from studiogan_tpu.models import build_discriminator, build_generator
     from studiogan_tpu.train import TrainEngine
 
     O = cfg.OPTIMIZATION
     G, D = build_generator(cfg), build_discriminator(cfg)
-    eng = TrainEngine(cfg, G, D)
+    eng = TrainEngine(cfg, G, D, unroll_scans=unroll)
     state = eng.init_state(jax.random.PRNGKey(0))
 
     n_micro = O.d_updates_per_step * O.acml_steps
@@ -89,11 +90,23 @@ def main():
         bench_cfg(_cfg(64, 4, mpc=True), label="bs64 acml4 bf16")
         bench_cfg(_cfg(128, 2, mpc=True), label="bs128 acml2 bf16")
         bench_cfg(_cfg(256, 1, mpc=True), label="bs256 acml1 bf16")
+    if mode == "unroll":
+        bench_cfg(_cfg(64, 4, mpc=False), unroll=True,
+                  label="bs64 acml4 fp32 UNROLLED")
+        bench_cfg(_cfg(128, 2, mpc=True), unroll=True,
+                  label="bs128 acml2 bf16 UNROLLED")
+        bench_cfg(_cfg(128, 2, mpc=False), unroll=True,
+                  label="bs128 acml2 fp32 UNROLLED")
     if mode == "sweep":
         bench_cfg(_cfg(128, 2, mpc=False), label="bs128 acml2 fp32")
         bench_cfg(_cfg(256, 1, mpc=False), label="bs256 acml1 fp32")
         bench_cfg(_cfg(512, 1, mpc=True), n_steps=3,
                   label="bs512 acml1 bf16 (ref per-step batch)")
+    if mode == "remat":
+        bench_cfg(_cfg(256, 1, mpc=True, remat=True), unroll=True,
+                  label="bs256 acml1 bf16 REMAT+UNROLL")
+        bench_cfg(_cfg(128, 2, mpc=True, remat=True), unroll=True,
+                  label="bs128 acml2 bf16 REMAT+UNROLL")
     if mode == "ablate":
         bench_cfg(_cfg(64, 4, mpc=False), label="baseline bs64 acml4 fp32")
         bench_cfg(_cfg(64, 4, mpc=False, sn=False), label="  -SN")

@@ -226,6 +226,10 @@ def _run_defaults() -> Namespace:
         num_workers=8,
         synchronized_bn=False,            # no-op under GSPMD: BN is cross-replica by construction
         mixed_precision=False,            # bfloat16 compute policy (no loss scaling on TPU)
+        remat=False,                      # rematerialize G/D activations in the train step
+                                          # (trade ~1 extra fwd for activation memory ->
+                                          # bigger micro-batches; TPU-native knob)
+        unroll_loops=False,               # unroll du/acml scans into straight-line HLO
         truncation_factor=-1.0,
         truncation_cutoff=None,
         batch_statistics=False,

@@ -88,6 +88,14 @@ def build_parser() -> ArgumentParser:
                    help="capture a jax profiler trace for N steps "
                         "(written to SAVE_DIR/profile; the reference has no "
                         "profiler — SURVEY.md §5)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize G/D activations inside the train step "
+                        "(jax.checkpoint): ~1 extra forward per update buys "
+                        "activation memory for 2-4x bigger micro-batches")
+    p.add_argument("--unroll", dest="unroll_loops", action="store_true",
+                   help="unroll the d_updates/acml micro-batch scans into "
+                        "straight-line HLO (XLA schedules across micros; "
+                        "longer compiles)")
     return p
 
 
@@ -159,7 +167,7 @@ def run(argv=None):
     from studiogan_tpu.train import ckpt as ckpt_util
 
     G, D = build_generator(cfg), build_discriminator(cfg)
-    eng = TrainEngine(cfg, G, D)
+    eng = TrainEngine(cfg, G, D, unroll_scans=cfg.RUN.unroll_loops)
     state = eng.init_state(jax.random.PRNGKey(seed))
     n_gparams = sum(p.size for p in jax.tree.leaves(state.g_params))
     n_dparams = sum(p.size for p in jax.tree.leaves(state.d_params))

@@ -93,11 +93,45 @@ def conv2d_resample(x: Array, w_oihw: Array, f, up: int = 1, down: int = 1,
     return _conv2d(x, w_oihw, stride=1, padding=padding)
 
 
+def _grouped_modconv(x: Array, w_noikk: Array, f, up: int, down: int,
+                     padding: int) -> Array:
+    """Per-sample-weight conv as ONE grouped conv (the reference's
+    fused_modconv=True path, stylegan2.py:84-94): batch folds into the
+    channel axis with feature_group_count=N.  Resampling uses the same
+    upfirdn decomposition as conv2d_resample, so both paths are
+    numerically identical up to float association."""
+    n, _, _, in_c = x.shape
+    _, out_c, _, kh, kw = w_noikk.shape
+    if up > 1:
+        x = upsample2d(x, f, up=up)
+    if down > 1:
+        from studiogan_tpu.ops.upfirdn2d import filter2d
+        x = filter2d(x, f)
+    stride = down if down > 1 else 1
+    xg = jnp.transpose(x, (1, 2, 0, 3)).reshape(
+        1, x.shape[1], x.shape[2], n * in_c)
+    kernel = jnp.transpose(w_noikk, (3, 4, 2, 0, 1)).reshape(
+        kh, kw, in_c, n * out_c)
+    y = jax.lax.conv_general_dilated(
+        xg, kernel.astype(xg.dtype), (stride, stride),
+        ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=n,
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    y = y.reshape(y.shape[1], y.shape[2], n, out_c)
+    return jnp.transpose(y, (2, 0, 1, 3))
+
+
 def modulated_conv2d(x: Array, weight: Array, styles: Array,
                      noise: Array | None = None, up: int = 1, down: int = 1,
                      padding: int = 0, resample_filter=None,
-                     demodulate: bool = True) -> Array:
-    """reference stylegan2.py:28-98 (fused_modconv=False path)."""
+                     demodulate: bool = True, fused: bool = False) -> Array:
+    """reference stylegan2.py:28-98.  fused=False is the input-scale /
+    output-demodulate formulation (reference fused_modconv=False) — the
+    TPU default: dense batched convs keep the MXU full, while the fused
+    grouped conv lowers to N independent small contractions.  fused=True
+    folds styles and demod coefficients into per-sample weights and runs
+    one grouped conv (reference fused_modconv=True, NVIDIA's eval path)."""
     out_c, in_c, kh, kw = weight.shape
     b = x.shape[0]
 
@@ -108,9 +142,17 @@ def modulated_conv2d(x: Array, weight: Array, styles: Array,
         styles = styles / jnp.max(jnp.abs(styles), axis=1, keepdims=True)
 
     dcoefs = None
-    if demodulate:
+    if demodulate or fused:
         w = weight[None] * styles[:, None, :, None, None]           # [NOIkk]
-        dcoefs = jax.lax.rsqrt(jnp.sum(jnp.square(w), axis=(2, 3, 4)) + 1e-8)
+        if demodulate:
+            dcoefs = jax.lax.rsqrt(jnp.sum(jnp.square(w), axis=(2, 3, 4)) + 1e-8)
+
+    if fused:
+        if demodulate:
+            w = w * dcoefs[:, :, None, None, None]
+        x = _grouped_modconv(x, w.astype(x.dtype), resample_filter, up, down,
+                             padding)
+        return x + noise.astype(x.dtype) if noise is not None else x
 
     x = x * styles[:, None, None, :].astype(x.dtype)
     x = conv2d_resample(x, weight, resample_filter, up=up, down=down,
@@ -229,7 +271,7 @@ class SynthesisLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, w: Array, noise_mode: str = "random",
-                 gain: float = 1.0) -> Array:
+                 gain: float = 1.0, fused_modconv: bool = False) -> Array:
         in_c = x.shape[-1]
         k = self.kernel_size
         styles = FullyConnectedLayer(in_c, bias_init=1.0, name="affine")(w)
@@ -252,7 +294,7 @@ class SynthesisLayer(nn.Module):
         f = setup_filter(np.asarray(self.resample_filter, np.float32))
         x = modulated_conv2d(x.astype(self.compute_dtype), weight, styles,
                              noise=noise, up=self.up, padding=k // 2,
-                             resample_filter=f)
+                             resample_filter=f, fused=fused_modconv)
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         act_gain = activation_funcs[self.activation].def_gain * gain
         act_clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
@@ -269,7 +311,8 @@ class ToRGBLayer(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, w: Array) -> Array:
+    def __call__(self, x: Array, w: Array,
+                 fused_modconv: bool = False) -> Array:
         in_c = x.shape[-1]
         k = self.kernel_size
         styles = FullyConnectedLayer(in_c, bias_init=1.0, name="affine")(w)
@@ -277,7 +320,8 @@ class ToRGBLayer(nn.Module):
         weight = self.param("weight", nn.initializers.normal(1.0),
                             (self.out_channels, in_c, k, k))
         x = modulated_conv2d(x.astype(self.compute_dtype), weight, styles,
-                             demodulate=False, padding=k // 2)
+                             demodulate=False, padding=k // 2,
+                             fused=fused_modconv)
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         return bias_act(x, bias.astype(x.dtype), clamp=self.conv_clamp)
 
@@ -297,7 +341,8 @@ class SynthesisBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array | None, img: Array | None, ws: Array,
-                 noise_mode: str = "random", force_fp32: bool = False):
+                 noise_mode: str = "random", force_fp32: bool = False,
+                 fused_modconv: bool = False):
         dtype = jnp.bfloat16 if self.use_fp16 and not force_fp32 else jnp.float32
         w_idx = 0
 
@@ -311,6 +356,7 @@ class SynthesisBlock(nn.Module):
             out_c, w_dim=self.w_dim, resolution=self.resolution, up=up,
             resample_filter=self.resample_filter, conv_clamp=self.conv_clamp,
             compute_dtype=dtype, name=name)
+        lkw = dict(noise_mode=noise_mode, fused_modconv=fused_modconv)
 
         if self.in_channels == 0:
             const = self.param("const", nn.initializers.normal(1.0),
@@ -318,23 +364,20 @@ class SynthesisBlock(nn.Module):
                                 self.out_channels))
             x = jnp.broadcast_to(const[None], (ws.shape[0],) + const.shape)
             x = x.astype(dtype)
-            x = layer(self.out_channels, 1, "conv1")(x, next_w(),
-                                                     noise_mode=noise_mode)
+            x = layer(self.out_channels, 1, "conv1")(x, next_w(), **lkw)
         elif self.architecture == "resnet":
             y = Conv2dLayer(self.out_channels, 1, use_bias=False, up=2,
                             resample_filter=self.resample_filter,
                             name="skip")(x.astype(dtype), gain=math.sqrt(0.5))
             x = layer(self.out_channels, 2, "conv0")(x.astype(dtype), next_w(),
-                                                     noise_mode=noise_mode)
+                                                     **lkw)
             x = layer(self.out_channels, 1, "conv1")(x, next_w(),
-                                                     noise_mode=noise_mode,
-                                                     gain=math.sqrt(0.5))
+                                                     gain=math.sqrt(0.5), **lkw)
             x = y + x
         else:
             x = layer(self.out_channels, 2, "conv0")(x.astype(dtype), next_w(),
-                                                     noise_mode=noise_mode)
-            x = layer(self.out_channels, 1, "conv1")(x, next_w(),
-                                                     noise_mode=noise_mode)
+                                                     **lkw)
+            x = layer(self.out_channels, 1, "conv1")(x, next_w(), **lkw)
 
         if img is not None:
             f = setup_filter(np.asarray(self.resample_filter, np.float32))
@@ -342,7 +385,8 @@ class SynthesisBlock(nn.Module):
         if self.is_last or self.architecture == "skip":
             y = ToRGBLayer(self.img_channels, w_dim=self.w_dim,
                            conv_clamp=self.conv_clamp, compute_dtype=dtype,
-                           name="torgb")(x, next_w())
+                           name="torgb")(x, next_w(),
+                                         fused_modconv=fused_modconv)
             y = y.astype(jnp.float32)
             img = img + y if img is not None else y
         return x, img
@@ -377,7 +421,8 @@ class SynthesisNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, ws: Array, noise_mode: str = "random",
-                 force_fp32: bool = False) -> Array:
+                 force_fp32: bool = False,
+                 fused_modconv: bool = False) -> Array:
         resolutions, channels = _block_channels(
             self.img_resolution, self.channel_base, self.channel_max)
         log2 = int(math.log2(self.img_resolution))
@@ -400,7 +445,8 @@ class SynthesisNetwork(nn.Module):
                 conv_clamp=self.conv_clamp,
                 use_fp16=self.num_fp16_res > 0 and res >= fp16_resolution,
                 name=f"b{res}")(x, img, block_ws, noise_mode=noise_mode,
-                                force_fp32=force_fp32)
+                                force_fp32=force_fp32,
+                                fused_modconv=fused_modconv)
             w_idx += num_conv
         return img
 
@@ -439,7 +485,8 @@ class Generator(nn.Module):
                  shared_label: Array | None = None, train: bool = True,
                  truncation_psi: float = 1.0, truncation_cutoff=None,
                  style_mixing_p: float = 0.0, update_emas: bool = False,
-                 noise_mode: str = "random") -> Array:
+                 noise_mode: str = "random",
+                 fused_modconv: bool = False) -> Array:
         c = (jax.nn.one_hot(label, self.num_classes)
              if self.c_dim > 0 else None)
         ws = self.mapping(z, c, truncation_psi=truncation_psi,
@@ -455,7 +502,8 @@ class Generator(nn.Module):
             mask = (jnp.arange(self.num_ws) >= cutoff)[None, :, None]
             ws = jnp.where(mask, ws2, ws)
         return self.synthesis(
-            ws, noise_mode=noise_mode if train else "const")
+            ws, noise_mode=noise_mode if train else "const",
+            fused_modconv=fused_modconv)
 
     def run_mapping(self, z, label, truncation_psi=1.0, truncation_cutoff=None,
                     update_emas=False):
@@ -464,8 +512,9 @@ class Generator(nn.Module):
                             truncation_cutoff=truncation_cutoff,
                             update_emas=update_emas)
 
-    def run_synthesis(self, ws, noise_mode="random"):
-        return self.synthesis(ws, noise_mode=noise_mode)
+    def run_synthesis(self, ws, noise_mode="random", fused_modconv=False):
+        return self.synthesis(ws, noise_mode=noise_mode,
+                              fused_modconv=fused_modconv)
 
 
 # ---------------------------------------------------------------------------

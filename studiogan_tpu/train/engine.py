@@ -57,9 +57,23 @@ def _tree_scale(t, s):
 class TrainEngine:
     """Builds pure, jittable train/eval steps from a config + modules."""
 
-    def __init__(self, cfg, G, D):
+    def __init__(self, cfg, G, D, unroll_scans: bool = False):
         self.cfg = cfg
         self.G, self.D = G, D
+        # Unroll the du/acml micro-batch scans into straight-line HLO:
+        # lets XLA schedule across micro-batches and makes
+        # compiled.cost_analysis() count every micro (a while-loop body is
+        # counted ONCE regardless of trip count, so MFU accounting needs
+        # this).  Costs compile time; numerics identical.
+        self.unroll_scans = unroll_scans
+        # Rematerialize the per-micro loss computations (activation memory
+        # ~= one layer instead of the whole G+D stack; the backward pass
+        # re-runs the forward).  HBM-bound regime: buys 2-4x micro-batch.
+        self.remat = bool(getattr(cfg.RUN, "remat", False))
+        self._d_loss = (jax.checkpoint(self._d_loss_fn) if self.remat
+                        else self._d_loss_fn)
+        self._g_loss = (jax.checkpoint(self._g_loss_fn) if self.remat
+                        else self._g_loss_fn)
         M, Ls, O, A = cfg.MODEL, cfg.LOSS, cfg.OPTIMIZATION, cfg.AUG
         self.M, self.Ls, self.O, self.A = M, Ls, O, A
         self.is_stylegan = M.backbone in ("stylegan2", "stylegan3")
@@ -555,7 +569,8 @@ class TrainEngine:
         ks = jax.random.split(step_rng, ac)
         (grads, sign_acc), _ = jax.lax.scan(
             body, (_tree_zeros_like(st.d_params), jnp.zeros(2)),
-            (micro_imgs, micro_labs, ks))
+            (micro_imgs, micro_labs, ks),
+            unroll=ac if self.unroll_scans else 1)
         updates, d_opt = self.d_tx.update(grads, st.d_opt, st.d_params)
         ada_stats = st.ada_stats
         if self.A.apply_ada or self.A.apply_apa:
@@ -594,7 +609,8 @@ class TrainEngine:
 
         ks = jax.random.split(step_rng, ac)
         (grads, pl_mean), _ = jax.lax.scan(
-            body, (_tree_zeros_like(st.g_params), st.pl_mean), ks)
+            body, (_tree_zeros_like(st.g_params), st.pl_mean), ks,
+            unroll=ac if self.unroll_scans else 1)
         updates, g_opt = self.g_tx.update(grads, st.g_opt, st.g_params)
         return st.replace(g_params=optax.apply_updates(st.g_params, updates),
                           g_opt=g_opt, pl_mean=pl_mean, rng=rng)
@@ -706,7 +722,7 @@ class TrainEngine:
                 fakes = self._sample_fakes(st.g_params, g_state, st.d_params,
                                            d_state, k1, B, update_g_state=False)
                 (loss, aux), grads = jax.value_and_grad(
-                    self._d_loss_fn, has_aux=True)(
+                    self._d_loss, has_aux=True)(
                         st.d_params, d_state, mi, ml, fakes, k2, st.step,
                         st.ada_p, lecam, r1_gate)
                 stats = dict(
@@ -724,7 +740,8 @@ class TrainEngine:
                 acml_body,
                 (_tree_zeros_like(st.d_params), st.d_state, st.g_state,
                  st.lecam, init_stats),
-                (micro_imgs, micro_labs, ks))
+                (micro_imgs, micro_labs, ks),
+                unroll=ac if self.unroll_scans else 1)
             grads = _tree_scale(grads, 1.0 / ac)
             updates, d_opt = self.d_tx.update(grads, st.d_opt, st.d_params)
             d_params = optax.apply_updates(st.d_params, updates)
@@ -758,7 +775,8 @@ class TrainEngine:
             (state, dict(d_loss=jnp.asarray(0.0), real_cond_loss=jnp.asarray(0.0),
                          r1=jnp.asarray(0.0), sign_real=jnp.asarray(0.0),
                          count=jnp.asarray(0.0))),
-            (imgs, labs, jnp.arange(du)))
+            (imgs, labs, jnp.arange(du)),
+            unroll=du if self.unroll_scans else 1)
 
         return state, d_stats
 
@@ -792,7 +810,7 @@ class TrainEngine:
                 grads_acc, info_grads_acc, g_state, d_state, gl = inner
                 argnums = (0, 1) if self.is_infogan else 0
                 (loss, aux), grads = jax.value_and_grad(
-                    self._g_loss_fn, argnums=argnums, has_aux=True)(
+                    self._g_loss, argnums=argnums, has_aux=True)(
                         state.g_params,
                         state.d_params if self.is_infogan else None,
                         g_state, state.d_params, d_state, real_micro, k,
@@ -811,7 +829,7 @@ class TrainEngine:
                 g_acml,
                 (_tree_zeros_like(state.g_params), info_zero, state.g_state,
                  state.d_state, jnp.asarray(0.0)),
-                ks)
+                ks, unroll=ac if self.unroll_scans else 1)
             g_grads = _tree_scale(g_grads, 1.0 / ac)
             updates, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
             g_params = optax.apply_updates(state.g_params, updates)

@@ -268,3 +268,67 @@ class TestTensorParallel:
         np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(fp2, fp1, rtol=1e-5)
+
+
+def test_unrolled_scans_match_looped():
+    """unroll_scans=True is a scheduling/accounting knob only — the
+    trained state must be bit-identical to the looped scans."""
+    from __graft_entry__ import _biggan_cfg
+    from studiogan_tpu.models import build_discriminator, build_generator
+    from studiogan_tpu.train import TrainEngine
+
+    cfg = _biggan_cfg(g_conv_dim=8, d_conv_dim=8, batch_size=4,
+                      d_updates=2, acml=2)
+    G, D = build_generator(cfg), build_discriminator(cfg)
+    rng = np.random.RandomState(0)
+    n_micro = 4
+    imgs = jnp.asarray(rng.uniform(-1, 1, (n_micro, 4, 32, 32, 3)), jnp.float32)
+    labs = jnp.asarray(rng.randint(0, 10, (n_micro, 4)), jnp.int32)
+
+    outs = []
+    for unroll in (False, True):
+        eng = TrainEngine(cfg, G, D, unroll_scans=unroll)
+        st = eng.init_state(jax.random.PRNGKey(7))
+        st, m = jax.jit(eng.train_step)(st, imgs, labs)
+        outs.append((jax.device_get(st.g_params), jax.device_get(st.d_params),
+                     float(m["d_loss"]), float(m["g_loss"])))
+    # unrolling lets XLA reassociate float adds inside fused reductions;
+    # after two Adam updates (grad/sqrt(v) of near-zero grads) that shows
+    # up as ~1e-4-level absolute differences on O(1) params
+    (g0, d0, dl0, gl0), (g1, d1, dl1, gl1) = outs
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=5e-4),
+                 g0, g1)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=5e-4),
+                 d0, d1)
+    np.testing.assert_allclose(dl0, dl1, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(gl0, gl1, rtol=1e-3, atol=1e-4)
+
+
+def test_remat_matches_plain():
+    """RUN.remat only trades compute for memory (jax.checkpoint around the
+    per-micro losses); the resulting state must match the plain step."""
+    from __graft_entry__ import _biggan_cfg
+    from studiogan_tpu.models import build_discriminator, build_generator
+    from studiogan_tpu.train import TrainEngine
+
+    cfg = _biggan_cfg(g_conv_dim=8, d_conv_dim=8, batch_size=4,
+                      d_updates=1, acml=2)
+    G, D = build_generator(cfg), build_discriminator(cfg)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32, 32, 3)), jnp.float32)
+    labs = jnp.asarray(rng.randint(0, 10, (2, 4)), jnp.int32)
+
+    outs = []
+    for remat in (False, True):
+        cfg.RUN.remat = remat
+        eng = TrainEngine(cfg, G, D)
+        st = eng.init_state(jax.random.PRNGKey(7))
+        st, m = jax.jit(eng.train_step)(st, imgs, labs)
+        outs.append((jax.device_get(st.g_params), jax.device_get(st.d_params),
+                     float(m["d_loss"])))
+    (g0, d0, dl0), (g1, d1, dl1) = outs
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=5e-4),
+                 g0, g1)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=5e-4),
+                 d0, d1)
+    np.testing.assert_allclose(dl0, dl1, rtol=1e-4, atol=1e-5)

@@ -44,20 +44,28 @@ def dist_results(tmp_path_factory):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
-    port = _free_port()
-
-    procs = []
-    for pid in range(2):
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "tests", "_multihost_child.py"),
-             str(pid), "2", str(port), str(workdir)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    # generous: under a full-suite run the children compile while every
-    # core is busy with other tests' XLA compiles
-    outs = [p.communicate(timeout=3600)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"child failed:\n{out[-4000:]}"
+    # Gloo's context init has a fixed ~30s internal deadline; under a
+    # contended full-suite run (parallel XLA compiles on every core) a
+    # child can miss it.  Retry the whole 2-process launch on a fresh
+    # port — a real regression fails deterministically on every attempt.
+    for attempt in range(3):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            procs.append(subprocess.Popen(
+                [sys.executable,
+                 os.path.join(REPO, "tests", "_multihost_child.py"),
+                 str(pid), "2", str(port), str(workdir)],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        # generous: under a full-suite run the children compile while every
+        # core is busy with other tests' XLA compiles
+        outs = [p.communicate(timeout=3600)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 2:
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, f"child failed:\n{out[-4000:]}"
     results = []
     for pid in range(2):
         with open(workdir / f"out{pid}.json") as f:

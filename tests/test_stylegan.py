@@ -169,3 +169,41 @@ class TestStyleGANPieces:
         assert float(jnp.abs(v["params"]["weight"]).mean()) > 10.0
         y = fc.apply(v, jnp.ones((2, 4)))
         assert float(jnp.abs(y).mean()) < 5.0
+
+
+class TestFusedModconv:
+    def test_fused_equals_input_scale_path(self):
+        """The grouped-conv fused path (reference fused_modconv=True,
+        stylegan2.py:84-94) must match the input-scale formulation on the
+        full synthesis stack (up=2 layers, demod, ToRGB without demod)."""
+        cfg = sg2_cfg()
+        G, _ = small_modules(cfg)
+        z = jax.random.normal(jax.random.PRNGKey(1), (4, cfg.MODEL.z_dim))
+        y = jnp.arange(4) % 10
+        rngs = {"params": jax.random.PRNGKey(0),
+                "noise": jax.random.PRNGKey(2),
+                "style_mix": jax.random.PRNGKey(3)}
+        vs = G.init(rngs, z, y, train=False)
+        ref = G.apply(vs, z, y, train=False)
+        fused = G.apply(vs, z, y, train=False, fused_modconv=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        assert not np.allclose(np.asarray(ref), 0.0)
+
+    def test_fused_modconv_unit(self):
+        from studiogan_tpu.models.stylegan2 import (modulated_conv2d,
+                                                    setup_filter)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(3, 8, 8, 6), jnp.float32)
+        w = jnp.asarray(rng.randn(5, 6, 3, 3) * 0.3, jnp.float32)
+        s = jnp.asarray(rng.rand(3, 6) + 0.5, jnp.float32)
+        noise = jnp.asarray(rng.randn(3, 16, 16, 1) * 0.1, jnp.float32)
+        f = setup_filter(np.asarray([1, 3, 3, 1], np.float32))
+        for up, nz in ((1, None), (2, noise)):
+            a = modulated_conv2d(x, w, s, noise=None if up == 1 else nz,
+                                 up=up, padding=1, resample_filter=f)
+            b = modulated_conv2d(x, w, s, noise=None if up == 1 else nz,
+                                 up=up, padding=1, resample_filter=f,
+                                 fused=True)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
