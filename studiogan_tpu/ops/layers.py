@@ -321,12 +321,19 @@ class ConditionalBatchNorm2d(nn.Module):
 
 class SelfAttention(nn.Module):
     """1x1-conv attention with 2x2 maxpool on phi/g and a learned residual
-    scale ``sigma`` (init 0).  Dense einsum attention — at the reference's
-    scale (<= 64x64 tokens) this maps straight onto the MXU; no flash
-    kernel needed (SURVEY.md §5)."""
+    scale ``sigma`` (init 0).  Dense einsum attention at CIFAR scale
+    (<= 1k tokens) maps straight onto the MXU.  At 64x64 tokens the
+    (N, 4096, 1024) attention map dominates activation memory (it is what
+    OOMs BigGAN-128 at micro-batch 256), so large inputs switch to an
+    EXACT blockwise path: queries are processed in chunks with a
+    rematerialized chunk body — the keys are already maxpool-reduced, so
+    each query row still sees every key and no online-softmax correction
+    is needed.  q_chunk: 0 = auto (chunk 512 when tokens >= 4096),
+    -1 = force dense, else the chunk size."""
     channels: int
     sn: bool = False
     kernel_init: Callable = nn.initializers.orthogonal()
+    q_chunk: int = 0
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -341,12 +348,26 @@ class SelfAttention(nn.Module):
         phi = phi.reshape(n, (h * w) // 4, c // 8)
         g = g.reshape(n, (h * w) // 4, c // 2)
 
-        attn = jax.nn.softmax(
-            jnp.einsum("nqc,nkc->nqk", theta, phi,
-                       preferred_element_type=jnp.float32), axis=-1
-        ).astype(x.dtype)
-        o = jnp.einsum("nqk,nkc->nqc", attn, g,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        def attend(th):
+            a = jax.nn.softmax(
+                jnp.einsum("nqc,nkc->nqk", th, phi,
+                           preferred_element_type=jnp.float32), axis=-1
+            ).astype(x.dtype)
+            return jnp.einsum("nqk,nkc->nqc", a, g,
+                              preferred_element_type=jnp.float32).astype(x.dtype)
+
+        chunk = self.q_chunk
+        if chunk == 0:
+            chunk = 512 if h * w >= 4096 else -1
+        if chunk > 0 and h * w > chunk and (h * w) % chunk == 0:
+            th_c = theta.reshape(n, (h * w) // chunk, chunk, c // 8)
+            th_c = jnp.moveaxis(th_c, 1, 0)          # (chunks, n, chunk, c/8)
+            _, o = jax.lax.scan(
+                jax.checkpoint(lambda carry, th: (carry, attend(th))),
+                None, th_c)
+            o = jnp.moveaxis(o, 0, 1).reshape(n, h * w, c // 2)
+        else:
+            o = attend(theta)
         o = o.reshape(n, h, w, c // 2)
         o = conv(c, name="attn_out")(o)
         sigma = self.param("sigma", nn.initializers.zeros, (1,))

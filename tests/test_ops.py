@@ -218,3 +218,33 @@ class TestFilteredLrelu:
                                               padding=2).sum())(x)
         assert g.shape == x.shape
         assert bool(jnp.any(g != 0))
+
+
+class TestBlockwiseAttention:
+    def test_chunked_matches_dense_values_and_grads(self):
+        """The blockwise path must be EXACTLY the dense attention (keys are
+        unchunked, softmax rows are complete) — values and input grads."""
+        from studiogan_tpu.ops.layers import SelfAttention
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
+        dense = SelfAttention(16, q_chunk=-1)
+        chunked = SelfAttention(16, q_chunk=16)
+        vs = dense.init(jax.random.PRNGKey(0), x)
+
+        def loss(mod, v, x):
+            return jnp.sum(jnp.sin(mod.apply(v, x)))
+
+        ld, gd = jax.value_and_grad(loss, argnums=2)(dense, vs, x)
+        lc, gc = jax.value_and_grad(loss, argnums=2)(chunked, vs, x)
+        np.testing.assert_allclose(float(ld), float(lc), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gc),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_auto_threshold_keeps_small_inputs_dense(self):
+        from studiogan_tpu.ops.layers import SelfAttention
+        x = jnp.zeros((1, 16, 16, 16))
+        mod = SelfAttention(16)  # q_chunk=0 auto; 256 tokens -> dense
+        vs = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(vs, x)
+        assert out.shape == x.shape
