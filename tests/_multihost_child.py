@@ -71,7 +71,22 @@ def main():
     step = jax.jit(eng.train_step,
                    in_shardings=(rt.replicated, rt.basket, rt.basket),
                    out_shardings=(rt.replicated, rt.replicated))
-    state, metrics = step(state, gi, gl)
+    # AOT-compile BEFORE the first collective: Gloo's context init has a
+    # fixed ~30s window, but compile time skews by minutes between the
+    # children under a contended full-suite run.  Compiling is purely
+    # local; a file barrier then aligns both processes to enter the Gloo
+    # ring together.
+    compiled = step.lower(state, gi, gl).compile()
+    with open(os.path.join(workdir, f"compiled{pid}"), "w") as f:
+        f.write("ok")
+    import time
+    deadline = time.time() + 1800
+    while not all(os.path.exists(os.path.join(workdir, f"compiled{p}"))
+                  for p in range(nproc)):
+        if time.time() > deadline:
+            raise TimeoutError("peer never finished compiling")
+        time.sleep(0.2)
+    state, metrics = compiled(state, gi, gl)
 
     fp_g = sum(float(np.abs(np.asarray(p)).sum())
                for p in jax.tree.leaves(jax.device_get(state.g_params)))

@@ -49,6 +49,11 @@ def dist_results(tmp_path_factory):
     # child can miss it.  Retry the whole 2-process launch on a fresh
     # port — a real regression fails deterministically on every attempt.
     for attempt in range(3):
+        for p in range(2):  # stale barrier files from a failed attempt
+            try:
+                os.remove(workdir / f"compiled{p}")
+            except OSError:
+                pass
         port = _free_port()
         procs = []
         for pid in range(2):
