@@ -31,6 +31,9 @@ import numpy as np
 
 BASELINE_CIFAR_STEPS_PER_SEC = 2.17
 BASELINE_IMAGENET_IMGS_PER_SEC = 82.0  # 0.32 steps/s * 256 (whole DP rig)
+# StyleGAN2-D2DCE-DiffAug CIFAR10: 1,167,700 steps in 1d 17:49:39
+# (logs/CIFAR10/CIFAR10-StyleGAN2-D2DCE-DiffAug-Rev tail)
+BASELINE_SG2_CIFAR_STEPS_PER_SEC = 7.755
 
 
 def _sync(metrics, st):
@@ -74,9 +77,16 @@ def _step_flops(compiled) -> float:
     return float(ca.get("flops", 0.0))
 
 
-def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, staged=None):
+def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, flops_cfg=None):
     """Compile the train step for cfg and time it.  Returns
-    (steps_per_sec, flops_per_step)."""
+    (steps_per_sec, flops_per_step).
+
+    FLOPs accounting gotcha: XLA's cost_analysis counts a while-loop
+    (lax.scan) body ONCE regardless of trip count, so the step is
+    re-lowered with the du/acml scans fully unrolled just for counting.
+    ``flops_cfg`` optionally supplies a smaller-micro-batch config with
+    the same effective batch for the unrolled count (conv FLOPs are
+    linear in batch), for configs whose unrolled form doesn't fit HBM."""
     from studiogan_tpu.models import build_discriminator, build_generator
     from studiogan_tpu.train import TrainEngine
 
@@ -85,17 +95,35 @@ def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, staged=None):
     eng = TrainEngine(cfg, G, D)
     state = eng.init_state(jax.random.PRNGKey(0))
 
-    n_micro = O.d_updates_per_step * O.acml_steps
-    sz = cfg.DATA.img_size
-    rng = np.random.RandomState(0)
-    imgs = jnp.asarray(rng.uniform(-1, 1, (n_micro, O.batch_size, sz, sz, 3)),
-                       jnp.float32)
-    labels = jnp.asarray(
-        rng.randint(0, cfg.DATA.num_classes, (n_micro, O.batch_size)), jnp.int32)
+    def staged_basket(c):
+        n_micro = (c.OPTIMIZATION.d_updates_per_step
+                   * c.OPTIMIZATION.acml_steps)
+        sz = c.DATA.img_size
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(
+            rng.uniform(-1, 1, (n_micro, c.OPTIMIZATION.batch_size, sz, sz, 3)),
+            jnp.float32)
+        labels = jnp.asarray(
+            rng.randint(0, c.DATA.num_classes,
+                        (n_micro, c.OPTIMIZATION.batch_size)), jnp.int32)
+        return imgs, labels
 
+    imgs, labels = staged_basket(cfg)
     step = jax.jit(eng.train_step, donate_argnums=0)
     compiled = step.lower(state, imgs, labels).compile()
-    flops = _step_flops(compiled)
+    flops = _step_flops(compiled)  # fallback: undercounts scan bodies
+
+    fcfg = flops_cfg or cfg
+    try:
+        G2, D2 = build_generator(fcfg), build_discriminator(fcfg)
+        eng_u = TrainEngine(fcfg, G2, D2, unroll_scans=True)
+        st_u = eng_u.init_state(jax.random.PRNGKey(0))
+        fi, fl = staged_basket(fcfg)
+        flops = _step_flops(
+            jax.jit(eng_u.train_step).lower(st_u, fi, fl).compile())
+        del st_u
+    except Exception:
+        pass  # keep the (under-counting) looped number
 
     for _ in range(warmup):
         state, m = step(state, imgs, labels)
@@ -179,14 +207,41 @@ def main():
     # --- CIFAR end-to-end through the input pipeline -----------------------
     results["cifar_steps_per_sec_e2e"] = round(_bench_cifar_e2e(cfg), 3)
 
-    # --- ImageNet-128 BigGAN (1 D + 1 G, bs64 x acml4 = effective 256) -----
-    icfg = Configurations(os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "configs", "ImageNet", "BigGAN2048.yaml"))
-    icfg.OPTIMIZATION.batch_size = 64
-    icfg.OPTIMIZATION.acml_steps = 4
-    icfg.RUN.mixed_precision = mpc
-    icfg.finalize()
-    isps, iflops = _bench_cfg_run(icfg, n_steps=8, windows=2, warmup=2)
+    # --- CIFAR10-32 StyleGAN2-D2DCE-DiffAug (the reference's best-FID
+    # CIFAR run: 7.76 steps/s on its rig, 1 step = 2 D + 1 G at bs64,
+    # lazy R1 every d_reg_interval; 32 timed steps amortize the R1 events)
+    scfg = Configurations(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "configs", "CIFAR10",
+        "StyleGAN2-D2DCE-DiffAug.yaml"))
+    scfg.RUN.train = True
+    scfg.finalize()
+    ssps, _ = _bench_cfg_run(scfg, n_steps=32, windows=2, warmup=4)
+    results["stylegan2_cifar_steps_per_sec"] = round(ssps, 3)
+    results["stylegan2_cifar_vs_reference"] = round(
+        ssps / BASELINE_SG2_CIFAR_STEPS_PER_SEC, 3)
+
+    # --- ImageNet-128 BigGAN (1 D + 1 G, effective batch 256) --------------
+    # Largest micro-batch that fits decides throughput (blockwise
+    # attention removed the (N,4096,1024) map ceiling): bf16 runs the
+    # whole effective batch as ONE bs256 micro; fp32 needs bs128 x acml2.
+    # FLOPs for the acml>1 split are counted on the unrolled bs64 x acml4
+    # lowering (same effective batch, conv FLOPs linear in batch; the
+    # unrolled bs128 form exceeds HBM); at acml=1 the looped count is
+    # already complete.
+    def _imagenet_cfg(bs, acml):
+        c = Configurations(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "configs", "ImageNet",
+            "BigGAN2048.yaml"))
+        c.OPTIMIZATION.batch_size = bs
+        c.OPTIMIZATION.acml_steps = acml
+        c.RUN.mixed_precision = mpc
+        c.finalize()
+        return c
+
+    icfg = _imagenet_cfg(256, 1) if mpc else _imagenet_cfg(128, 2)
+    isps, iflops = _bench_cfg_run(
+        icfg, n_steps=8, windows=2, warmup=2,
+        flops_cfg=None if mpc else _imagenet_cfg(64, 4))
     eff = icfg.OPTIMIZATION.batch_size * icfg.OPTIMIZATION.acml_steps
     results["imagenet128_imgs_per_sec_per_chip"] = round(isps * eff, 1)
     results["imagenet128_model_tflops_per_step"] = round(iflops / 1e12, 3)
