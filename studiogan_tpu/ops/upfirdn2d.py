@@ -1,22 +1,35 @@
 """upfirdn2d: pad -> upsample -> FIR filter -> downsample, NHWC.
 
 Capability parity with reference src/utils/style_ops/upfirdn2d.py
-(CUDA kernel upfirdn2d.cu; python ref at upfirdn2d.py:166).  TPU-native
-formulation: one depthwise ``lax.conv_general_dilated`` expresses the
-whole op — ``lhs_dilation`` is the zero-insertion upsample,
-``window_strides`` is the downsample, and the pad spec absorbs both the
-user padding and the dilation fix-up, so XLA lowers it to a single
-convolution that tiles onto the MXU/VPU.  Separable (1-D) filters run as
-two rank-1 depthwise convs.
+(CUDA kernel upfirdn2d.cu; python ref at upfirdn2d.py:166).  Two
+TPU-native formulations:
+
+  * ``depthwise`` — one ``lax.conv_general_dilated`` with
+    feature_group_count=C: ``lhs_dilation`` is the zero-insertion
+    upsample, ``window_strides`` the downsample.  Compact, but a
+    C-group conv runs on the VPU, not the MXU.
+  * ``matmul`` (default for separable/rank-1 filters at moderate
+    spatial size) — a 1-D upfirdn is a banded linear operator, so each
+    axis pass is a dense (out, in) matmul built once in numpy at trace
+    time: ``einsum('oh,nhwc->nowc')``.  A few extra FLOPs, but they run
+    on the MXU (the same trick the Pallas filtered_lrelu kernel uses).
+    StyleGAN's (1,3,3,1)-style 2-D filters are outer products, so they
+    are detected as rank-1 and factored back into two 1-D passes.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# "auto" | "matmul" | "depthwise" (env override for benchmarks)
+_IMPL = os.environ.get("STUDIOGAN_UPFIRDN_IMPL", "auto")
+_MATMUL_MAX_DIM = 1024  # beyond this the dense band matrix gets wasteful
 
 
 def _parse_scaling(scaling) -> tuple[int, int]:
@@ -78,6 +91,49 @@ def _depthwise(x: Array, f: Array, up: tuple[int, int], down: tuple[int, int],
     ).astype(x.dtype)
 
 
+def _factor_rank1(f: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Factor a 2-D filter into outer(fy, fx) if it is (numerically)
+    rank-1 — true for every setup_filter() product of a 1-D filter."""
+    u, s, vt = np.linalg.svd(f.astype(np.float64))
+    if f.size > 1 and s[0] > 0 and (len(s) == 1 or s[1] <= 1e-9 * s[0]):
+        r = np.sqrt(s[0])
+        return (u[:, 0] * r).astype(np.float32), (vt[0] * r).astype(np.float32)
+    if f.size == 1:
+        return (f.reshape(1).astype(np.float32),
+                np.ones(1, np.float32))
+    return None
+
+
+def _upfirdn1d_band(f: np.ndarray, n_in: int, up: int, down: int,
+                    p0: int, p1: int) -> np.ndarray:
+    """Dense (n_out, n_in) matrix of the 1-D upfirdn: zero-insert by
+    ``up``, pad (p0, p1) (negative = crop), cross-correlate with ``f``
+    (caller pre-flips for convolution), stride by ``down``."""
+    taps = len(f)
+    n_up = n_in * up
+    n_pad = p0 + n_up + p1
+    n_out = max((n_pad - taps) // down + 1, 0)
+    m = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        base = o * down - p0
+        for k in range(taps):
+            j = base + k
+            if 0 <= j < n_up and j % up == 0:
+                m[o, j // up] += f[k]
+    return m
+
+
+def _matmul_pass(x: Array, f1d: np.ndarray, axis: int, up: int, down: int,
+                 p0: int, p1: int) -> Array:
+    n_in = x.shape[axis]
+    m = jnp.asarray(_upfirdn1d_band(f1d, n_in, up, down, p0, p1), x.dtype)
+    if axis == 1:    # height
+        return jnp.einsum("oh,nhwc->nowc", m, x,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("ow,nhwc->nhoc", m, x,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 def upfirdn2d(x: Array, f: Array | np.ndarray | None, up=1, down=1, padding=0,
               flip_filter: bool = False, gain: float = 1.0) -> Array:
     """NHWC upfirdn2d (reference upfirdn2d.py:118-213).
@@ -86,12 +142,32 @@ def upfirdn2d(x: Array, f: Array | np.ndarray | None, up=1, down=1, padding=0,
     """
     if f is None:
         f = np.ones((1, 1), dtype=np.float32)
-    f = jnp.asarray(f, dtype=jnp.float32)
-    assert f.ndim in (1, 2)
     upx, upy = _parse_scaling(up)
     downx, downy = _parse_scaling(down)
     pad = _parse_padding(padding)
 
+    # -- MXU band-matrix path: needs a static (numpy) separable filter --
+    if _IMPL in ("auto", "matmul") and isinstance(f, np.ndarray) \
+            and max(x.shape[1] * upy, x.shape[2] * upx) <= _MATMUL_MAX_DIM:
+        fnp = np.asarray(f, np.float32)
+        if fnp.ndim == 1:
+            g = float(gain) ** 0.5
+            fy, fx = fnp * g, fnp * g
+        else:
+            fac = _factor_rank1(fnp * float(gain))
+            fy, fx = fac if fac is not None else (None, None)
+        if fy is not None:
+            if not flip_filter:  # convolution semantics
+                fy, fx = fy[::-1].copy(), fx[::-1].copy()
+            # the band matrix models the full n_in*up zero-inserted
+            # sequence (up-1 trailing zeros included), so no dilation
+            # fix-up pad is needed here
+            x = _matmul_pass(x, fy, 1, upy, downy, pad[2], pad[3])
+            x = _matmul_pass(x, fx, 2, upx, downx, pad[0], pad[1])
+            return x
+
+    f = jnp.asarray(f, dtype=jnp.float32)
+    assert f.ndim in (1, 2)
     if not flip_filter:  # convolution: flip; lax conv is cross-correlation
         f = jnp.flip(f, axis=tuple(range(f.ndim)))
 

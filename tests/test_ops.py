@@ -248,3 +248,46 @@ class TestBlockwiseAttention:
         vs = mod.init(jax.random.PRNGKey(0), x)
         out = mod.apply(vs, x)
         assert out.shape == x.shape
+
+
+class TestUpfirdnMatmulPath:
+    """The MXU band-matrix formulation must match the depthwise conv
+    formulation exactly (same math, different lowering)."""
+
+    def test_matmul_equals_depthwise(self):
+        import importlib
+        U = importlib.import_module("studiogan_tpu.ops.upfirdn2d")
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 8, 9, 3), jnp.float32)
+        filters = [U.setup_filter(np.array([1., 3, 3, 1])),
+                   U.setup_filter(np.array([1., 2, 1])),
+                   U.setup_filter(np.hanning(12), separable=True), None]
+        cases = [dict(up=2, padding=(2, 1, 2, 1), gain=4),
+                 dict(down=2, padding=1),
+                 dict(up=2, down=2, padding=(1, 2, 0, 3)),
+                 dict(padding=(-1, 2, 0, -1)),
+                 dict(up=3, padding=2, flip_filter=True)]
+        old = U._IMPL
+        try:
+            for f in filters:
+                for kw in cases:
+                    U._IMPL = "matmul"
+                    a = U.upfirdn2d(x, f, **kw)
+                    U._IMPL = "depthwise"
+                    b = U.upfirdn2d(x, f, **kw)
+                    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                               rtol=1e-5, atol=1e-6)
+        finally:
+            U._IMPL = old
+
+    def test_rank1_factorization_detects_outer_products(self):
+        from studiogan_tpu.ops.upfirdn2d import _factor_rank1, setup_filter
+        f = setup_filter(np.array([1., 3, 3, 1]))
+        fac = _factor_rank1(f)
+        assert fac is not None
+        fy, fx = fac
+        np.testing.assert_allclose(np.outer(fy, fx), f, atol=1e-7)
+        # a genuinely 2-D (radial) filter must NOT factor
+        xx, yy = np.meshgrid(np.arange(-2, 3), np.arange(-2, 3))
+        radial = np.exp(-(xx ** 2 + yy ** 2) / 2.0).astype(np.float32)
+        assert _factor_rank1(radial) is None
