@@ -215,10 +215,17 @@ def main():
         "StyleGAN2-D2DCE-DiffAug.yaml"))
     scfg.RUN.train = True
     scfg.finalize()
-    ssps, _ = _bench_cfg_run(scfg, n_steps=32, windows=2, warmup=4)
+    ssps, sflops = _bench_cfg_run(scfg, n_steps=32, windows=2, warmup=4)
     results["stylegan2_cifar_steps_per_sec"] = round(ssps, 3)
     results["stylegan2_cifar_vs_reference"] = round(
         ssps / BASELINE_SG2_CIFAR_STEPS_PER_SEC, 3)
+    # NB: the unrolled count includes BOTH lax.cond branches (the lazy-R1
+    # body executes only every d_reg_interval steps), so this slightly
+    # overstates per-step model FLOPs — an upper bound on work, giving an
+    # upper-bound MFU estimate
+    results["stylegan2_cifar_tflops_per_step_ub"] = round(sflops / 1e12, 3)
+    results["stylegan2_cifar_mfu_ub"] = round(
+        sflops * ssps / (peak_tflops * 1e12), 4)
 
     # --- ImageNet-128 BigGAN (1 D + 1 G, effective batch 256) --------------
     # Largest micro-batch that fits decides throughput (blockwise

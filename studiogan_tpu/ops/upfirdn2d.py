@@ -8,13 +8,19 @@ TPU-native formulations:
     feature_group_count=C: ``lhs_dilation`` is the zero-insertion
     upsample, ``window_strides`` the downsample.  Compact, but a
     C-group conv runs on the VPU, not the MXU.
-  * ``matmul`` (default for separable/rank-1 filters at moderate
-    spatial size) — a 1-D upfirdn is a banded linear operator, so each
-    axis pass is a dense (out, in) matmul built once in numpy at trace
-    time: ``einsum('oh,nhwc->nowc')``.  A few extra FLOPs, but they run
-    on the MXU (the same trick the Pallas filtered_lrelu kernel uses).
-    StyleGAN's (1,3,3,1)-style 2-D filters are outer products, so they
-    are detected as rank-1 and factored back into two 1-D passes.
+  * ``matmul`` (opt-in: STUDIOGAN_UPFIRDN_IMPL=matmul) — a 1-D upfirdn
+    is a banded linear operator, so each axis pass is a dense (out, in)
+    matmul built once in numpy at trace time:
+    ``einsum('oh,nhwc->nowc')``.  The FLOPs run on the MXU (the same
+    trick the Pallas filtered_lrelu kernel uses).  StyleGAN's
+    (1,3,3,1)-style 2-D filters are outer products, detected as rank-1
+    and factored back into two 1-D passes.
+
+Measured on the chip (StyleGAN2-D2DCE CIFAR full step): depthwise 88.9
+ms vs matmul 97.7 ms — at <=32px/4-tap shapes XLA's depthwise lowering
+is already cheap and the einsum pays extra layout shuffles, so ``auto``
+resolves to depthwise.  Revisit for large-spatial/long-tap workloads
+(scripts/profile_filtered_lrelu.py).
 """
 
 from __future__ import annotations
@@ -147,7 +153,7 @@ def upfirdn2d(x: Array, f: Array | np.ndarray | None, up=1, down=1, padding=0,
     pad = _parse_padding(padding)
 
     # -- MXU band-matrix path: needs a static (numpy) separable filter --
-    if _IMPL in ("auto", "matmul") and isinstance(f, np.ndarray) \
+    if _IMPL == "matmul" and isinstance(f, np.ndarray) \
             and max(x.shape[1] * upy, x.shape[2] * upx) <= _MATMUL_MAX_DIM:
         fnp = np.asarray(f, np.float32)
         if fnp.ndim == 1:
