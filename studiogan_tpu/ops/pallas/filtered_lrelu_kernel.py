@@ -89,8 +89,25 @@ def filtered_lrelu_pallas(x: Array, fu=None, fd=None, b: Array | None = None,
 
     if b is None:
         b = jnp.zeros((c,), x.dtype)
-    cb = min(channel_block, c)
-    assert c % cb == 0
+
+    # feasibility: the per-grid-cell VMEM working set is the input tile +
+    # the 2x-upsampled intermediate + output tile.  Mosaic requires the
+    # last block dim to be a multiple of 128, so the channel block cannot
+    # shrink — pad C up to a multiple of 128, and fall back to the ref
+    # decomposition when the 128-channel working set exceeds VMEM
+    # (large-spatial layers; measured envelope: wins at ~36-64px/512ch,
+    # scripts/profile_filtered_lrelu.py).
+    cb = 128
+    vmem_est = (h * w + hm * w + hm * wm + ho * wm + ho * wo) * cb * 4
+    if vmem_est > 15 * 1024 * 1024:
+        from studiogan_tpu.ops.filtered_lrelu import filtered_lrelu
+        return filtered_lrelu(x, fu, fd, b, up=up, down=down, padding=padding,
+                              gain=gain, slope=slope, clamp=clamp, impl="ref")
+    c_pad = -(-c // cb) * cb
+    if c_pad != c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
+        b = jnp.pad(b.reshape(-1), (0, c_pad - c))
+    c_eff = c_pad
 
     def kernel(x_ref, b_ref, uh_ref, uw_ref, dh_ref, dw_ref, o_ref):
         # x_ref: (1, h, w, cb); matrices in VMEM
@@ -112,7 +129,7 @@ def filtered_lrelu_pallas(x: Array, fu=None, fd=None, b: Array | None = None,
                        preferred_element_type=jnp.float32)
         o_ref[0] = t.astype(o_ref.dtype)
 
-    grid = (n, c // cb)
+    grid = (n, c_eff // cb)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -127,8 +144,8 @@ def filtered_lrelu_pallas(x: Array, fu=None, fd=None, b: Array | None = None,
         ],
         out_specs=pl.BlockSpec((1, ho, wo, cb), lambda i, j: (i, 0, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, c_eff), x.dtype),
         interpret=interpret,
-    )(x, b.astype(x.dtype).reshape(1, c), jnp.asarray(U_h), jnp.asarray(U_w),
-      jnp.asarray(D_h), jnp.asarray(D_w))
-    return out
+    )(x, b.astype(x.dtype).reshape(1, c_eff), jnp.asarray(U_h),
+      jnp.asarray(U_w), jnp.asarray(D_h), jnp.asarray(D_w))
+    return out[..., :c] if c_eff != c else out
