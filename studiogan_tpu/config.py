@@ -193,6 +193,9 @@ def _aug_defaults() -> Namespace:
 def _stylegan_defaults() -> Namespace:
     return Namespace(
         stylegan3_cfg=NA,
+        filtered_lrelu_impl="ref",  # "ref" | "pallas" (TPU-native fused
+                                    # kernel, ops/pallas; envelope notes in
+                                    # scripts/profile_filtered_lrelu.py)
         cond_type=["PD", "SPD", "2C", "D2DCE"],
         g_reg_interval=NA,
         d_reg_interval=NA,

@@ -162,6 +162,9 @@ class SG3SynthesisLayer(nn.Module):
     use_radial_filters: bool = False
     conv_clamp: float | None = 256
     magnitude_ema_beta: float = 0.999
+    flrelu_impl: str = "ref"   # "ref" | "pallas" (fused kernel; wins at
+                               # mid-res/512ch — ops/pallas, measured
+                               # envelope in scripts/profile_filtered_lrelu)
 
     def setup(self):
         self.kernel = 1 if self.is_torgb else self.conv_kernel
@@ -219,7 +222,8 @@ class SG3SynthesisLayer(nn.Module):
         x = filtered_lrelu(x, fu=self.up_filter, fd=self.down_filter,
                            b=self.bias.astype(x.dtype), up=self.up_factor,
                            down=self.down_factor, padding=self.pad, gain=gain,
-                           slope=slope, clamp=self.conv_clamp)
+                           slope=slope, clamp=self.conv_clamp,
+                           impl=self.flrelu_impl)
         return x
 
 
@@ -241,6 +245,7 @@ class SynthesisNetwork(nn.Module):
     use_radial_filters: bool = False
     conv_clamp: float | None = 256
     magnitude_ema_beta: float = 0.999
+    flrelu_impl: str = "ref"
 
     def setup(self):
         last_cutoff = self.img_resolution / 2
@@ -279,6 +284,7 @@ class SynthesisNetwork(nn.Module):
                 use_radial_filters=self.use_radial_filters,
                 conv_clamp=self.conv_clamp,
                 magnitude_ema_beta=self.magnitude_ema_beta,
+                flrelu_impl=self.flrelu_impl,
                 name=f"L{idx}"))
         self.layers = layers
 
@@ -309,6 +315,7 @@ class Generator(nn.Module):
     conv_clamp: float | None = 256
     magnitude_ema_beta: float = 0.999
     info_extra_dim: int = 0
+    flrelu_impl: str = "ref"
 
     def setup(self):
         self.synthesis = SynthesisNetwork(
@@ -317,7 +324,8 @@ class Generator(nn.Module):
             channel_max=self.channel_max, conv_kernel=self.conv_kernel,
             use_radial_filters=self.use_radial_filters,
             conv_clamp=self.conv_clamp,
-            magnitude_ema_beta=self.magnitude_ema_beta)
+            magnitude_ema_beta=self.magnitude_ema_beta,
+            flrelu_impl=self.flrelu_impl)
         self.num_ws = self.synthesis.num_layers + 2
         self.mapping = MappingNetwork(
             z_dim=self.z_dim + self.info_extra_dim, c_dim=self.c_dim,
@@ -380,4 +388,5 @@ def make_generator(cfg) -> Generator:
         channel_base=g_channel_base, channel_max=g_channel_max,
         conv_kernel=conv_kernel, use_radial_filters=use_radial,
         conv_clamp=256 if conv_clamp else None,
-        magnitude_ema_beta=magnitude_ema_beta, info_extra_dim=info_extra)
+        magnitude_ema_beta=magnitude_ema_beta, info_extra_dim=info_extra,
+        flrelu_impl=getattr(cfg.STYLEGAN, "filtered_lrelu_impl", "ref"))
