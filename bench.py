@@ -215,16 +215,25 @@ def main():
         "StyleGAN2-D2DCE-DiffAug.yaml"))
     scfg.RUN.train = True
     scfg.finalize()
-    ssps, sflops = _bench_cfg_run(scfg, n_steps=32, windows=2, warmup=4)
+    # FLOPs caveat: an unrolled count of the full step includes BOTH
+    # lax.cond branches, and the lazy-R1 body (double-grad) only executes
+    # every d_reg_interval steps — that count lands above the roofline.
+    # Count the R1-disabled variant instead: a strict LOWER bound on the
+    # per-step model work, giving a lower-bound MFU.
+    sflops_cfg = Configurations(scfg.RUN.cfg_file or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "configs", "CIFAR10",
+        "StyleGAN2-D2DCE-DiffAug.yaml"))
+    sflops_cfg.RUN.train = True
+    sflops_cfg.LOSS.apply_r1_reg = False
+    sflops_cfg.LOSS.r1_place = "N/A"
+    sflops_cfg.finalize()
+    ssps, sflops = _bench_cfg_run(scfg, n_steps=32, windows=2, warmup=4,
+                                  flops_cfg=sflops_cfg)
     results["stylegan2_cifar_steps_per_sec"] = round(ssps, 3)
     results["stylegan2_cifar_vs_reference"] = round(
         ssps / BASELINE_SG2_CIFAR_STEPS_PER_SEC, 3)
-    # NB: the unrolled count includes BOTH lax.cond branches (the lazy-R1
-    # body executes only every d_reg_interval steps), so this slightly
-    # overstates per-step model FLOPs — an upper bound on work, giving an
-    # upper-bound MFU estimate
-    results["stylegan2_cifar_tflops_per_step_ub"] = round(sflops / 1e12, 3)
-    results["stylegan2_cifar_mfu_ub"] = round(
+    results["stylegan2_cifar_tflops_per_step_lb"] = round(sflops / 1e12, 3)
+    results["stylegan2_cifar_mfu_lb"] = round(
         sflops * ssps / (peak_tflops * 1e12), 4)
 
     # --- ImageNet-128 BigGAN (1 D + 1 G, effective batch 256) --------------
