@@ -233,6 +233,7 @@ def _run_defaults() -> Namespace:
                                           # (trade ~1 extra fwd for activation memory ->
                                           # bigger micro-batches; TPU-native knob)
         unroll_loops=False,               # unroll du/acml scans into straight-line HLO
+        async_ckpt=False,                 # background-thread checkpoint writes
         truncation_factor=-1.0,
         truncation_cutoff=None,
         batch_statistics=False,

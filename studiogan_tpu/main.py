@@ -88,6 +88,11 @@ def build_parser() -> ArgumentParser:
                    help="capture a jax profiler trace for N steps "
                         "(written to SAVE_DIR/profile; the reference has no "
                         "profiler — SURVEY.md §5)")
+    p.add_argument("-async_ckpt", "--async_ckpt", action="store_true",
+                   help="snapshot state on device and write checkpoints on "
+                        "a background thread (the synchronous device->host "
+                        "fetch of an ImageNet-scale state costs ~2 min on a "
+                        "tunneled chip)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize G/D activations inside the train step "
                         "(jax.checkpoint): ~1 extra forward per update buys "
@@ -311,11 +316,16 @@ def run(argv=None):
                         best_fid, best_step = scores["fid"], cur
                         ckpt_util.save_ckpt(ckpt_dir, state, dict(
                             seed=seed, run_name=run_name, best_fid=best_fid,
-                            best_step=best_step), when="best")
+                            best_step=best_step), when="best",
+                            async_save=cfg.RUN.async_ckpt)
                 ckpt_util.save_ckpt(ckpt_dir, state, dict(
                     seed=seed, run_name=run_name, best_fid=best_fid,
-                    best_step=best_step), when="current")
+                    best_step=best_step), when="current",
+                    async_save=cfg.RUN.async_ckpt)
         logger.info("Training done: %s", misc.elapsed_time(start))
+        # join in-flight async writers first: the final sync save may
+        # target the same step/path as the last in-loop async save
+        ckpt_util.wait_for_pending_saves()
         ckpt_util.save_ckpt(ckpt_dir, state, dict(
             seed=seed, run_name=run_name, best_fid=best_fid,
             best_step=best_step), when="current")
