@@ -158,3 +158,46 @@ class TestGridSampleParity:
             mode="bilinear", padding_mode="zeros", align_corners=False)
         np.testing.assert_allclose(ours, t.numpy().transpose(0, 2, 3, 1),
                                    atol=1e-5)
+
+
+class TestSelfAttentionParity:
+    def _torch_forward(self, x_nchw, wt, wp, wg, wo, sigma):
+        """Reference SelfAttention forward (ops.py:84-103) with plain
+        convs (weights injected)."""
+        conv = torch.nn.functional.conv2d
+        pool = torch.nn.functional.max_pool2d
+        x = torch.tensor(x_nchw)
+        n, ch, h, w = x.shape
+        theta = conv(x, torch.tensor(wt)).view(-1, ch // 8, h * w)
+        phi = pool(conv(x, torch.tensor(wp)), 2, 2).view(-1, ch // 8,
+                                                         h * w // 4)
+        attn = torch.softmax(torch.bmm(theta.permute(0, 2, 1), phi), dim=-1)
+        g = pool(conv(x, torch.tensor(wg)), 2, 2).view(-1, ch // 2,
+                                                       h * w // 4)
+        attn_g = torch.bmm(g, attn.permute(0, 2, 1)).view(-1, ch // 2, h, w)
+        attn_g = conv(attn_g, torch.tensor(wo))
+        return (x + sigma * attn_g).numpy()
+
+    @pytest.mark.parametrize("q_chunk", [-1, 16])
+    def test_matches_reference_math(self, q_chunk):
+        from studiogan_tpu.ops.layers import SelfAttention
+        rng = np.random.RandomState(0)
+        c = 16
+        x = rng.randn(2, 8, 8, c).astype(np.float32)
+        mod = SelfAttention(c, q_chunk=q_chunk)
+        v = mod.init(jax.random.PRNGKey(1), jnp.asarray(x))
+        v = jax.tree.map(lambda a: a, v)  # concrete copy
+        # give sigma a nonzero value so the attention branch matters
+        params = dict(v["params"])
+        params["sigma"] = jnp.asarray([0.7])
+        y = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+
+        def oihw(name):
+            k = np.asarray(params[name]["kernel"])     # HWIO (1,1,I,O)
+            return k.transpose(3, 2, 0, 1)
+        with torch.no_grad():
+            ty = self._torch_forward(
+                x.transpose(0, 3, 1, 2), oihw("theta"), oihw("phi"),
+                oihw("g"), oihw("attn_out"), 0.7)
+        np.testing.assert_allclose(y.transpose(0, 3, 1, 2), ty,
+                                   rtol=2e-4, atol=2e-5)
