@@ -1,33 +1,55 @@
 """Benchmark: BigGAN training throughput + MFU on one TPU chip.
 
-Workloads (mirroring the reference's two headline training runs,
-BASELINE.md):
+Workloads (mirroring the reference's headline training runs, BASELINE.md):
 
   * CIFAR10-32 BigGAN bs64, one step = 5 D + 1 G updates.  Reference:
     2.17 steps/s on 1 GPU (logs/CIFAR10/BigGAN-train-2021_01_15_14_48_48).
     Measured both with pre-staged device tensors (kernel throughput) and
     end-to-end through BasketLoader (host pipeline + transfer included).
-  * ImageNet-128 BigGAN bs64 x acml 4 (effective 256), one step =
-    1 D + 1 G update at effective batch 256.  Reference: 0.32 steps/s =
+  * CIFAR10-32 StyleGAN2-D2DCE-DiffAug (the reference's best-FID CIFAR
+    run): 7.76 steps/s on its rig.
+  * ImageNet-128 BigGAN, effective batch 256.  Reference: 0.32 steps/s =
     ~82 imgs/s on a multi-GPU DP rig (logs/IMAGENET/BigGAN256).
 
 MFU = model FLOPs/step (XLA cost analysis of the compiled step) divided
 by measured wall time and the chip's measured matmul peak.
 
-Prints ONE JSON line.  Timing gotcha: on the tunneled `axon` platform
-``block_until_ready`` measures enqueue rate, not execution — every
-window must end with a device->host VALUE fetch (CLAUDE.md).
+Prints ONE JSON line.  Robustness contract (round-2 postmortem: the
+driver's run timed out mid-compile and captured nothing):
+
+  * persistent XLA compile cache at ``.jax_cache`` (same dir as
+    __graft_entry__/tests) — warm reruns skip every heavy compile;
+  * unrolled-scan FLOPs counts are cached in ``bench_flops.json``
+    (committed), so reruns never pay the count-only lower+compiles;
+  * a watchdog thread emits the JSON line with whatever workloads
+    completed after ``STUDIOGAN_BENCH_BUDGET_S`` seconds (default 780)
+    and exits 0 — partial numbers beat a silent timeout;
+  * per-workload failures are logged to stderr, never swallowed.
+
+Timing gotcha: on the tunneled `axon` platform ``block_until_ready``
+measures enqueue rate, not execution — every window must end with a
+device->host VALUE fetch (CLAUDE.md).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 import time
+import traceback
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 BASELINE_CIFAR_STEPS_PER_SEC = 2.17
 BASELINE_IMAGENET_IMGS_PER_SEC = 82.0  # 0.32 steps/s * 256 (whole DP rig)
@@ -35,10 +57,70 @@ BASELINE_IMAGENET_IMGS_PER_SEC = 82.0  # 0.32 steps/s * 256 (whole DP rig)
 # (logs/CIFAR10/CIFAR10-StyleGAN2-D2DCE-DiffAug-Rev tail)
 BASELINE_SG2_CIFAR_STEPS_PER_SEC = 7.755
 
+_FLOPS_SIDECAR = os.path.join(_REPO, "bench_flops.json")
+_T0 = time.time()
+_BUDGET = float(os.environ.get("STUDIOGAN_BENCH_BUDGET_S", "780"))
+
+results: dict = {}
+_emitted = threading.Event()
+
+
+def _emit_json_line():
+    """Print the ONE driver-parsed JSON line from whatever completed."""
+    if _emitted.is_set():
+        return
+    _emitted.set()
+    if "cifar_steps_per_sec" in results:
+        head = {
+            "metric": "biggan_cifar10_train_steps_per_sec",
+            "value": results["cifar_steps_per_sec"],
+            "unit": "steps/s (1 step = 5 D + 1 G updates, bs64)",
+            "vs_baseline": round(
+                results["cifar_steps_per_sec"] / BASELINE_CIFAR_STEPS_PER_SEC,
+                4),
+        }
+    else:  # nothing finished in budget — still emit a parseable line
+        head = {
+            "metric": "biggan_cifar10_train_steps_per_sec",
+            "value": None, "unit": "steps/s", "vs_baseline": None,
+        }
+    head["bench_elapsed_s"] = round(time.time() - _T0, 1)
+    print(json.dumps({**head, **results}), flush=True)
+
+
+def _watchdog():
+    results["timeout_guard_fired"] = True
+    sys.stderr.write(
+        f"bench watchdog: budget {_BUDGET}s exhausted, emitting partial "
+        f"results ({sorted(results)})\n")
+    sys.stderr.flush()
+    _emit_json_line()
+    os._exit(0)
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.time() - _T0)
+
+
+def _load_flops_cache() -> dict:
+    try:
+        with open(_FLOPS_SIDECAR) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_flops_cache(cache: dict) -> None:
+    tmp = _FLOPS_SIDECAR + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    os.replace(tmp, _FLOPS_SIDECAR)
+
 
 def _sync(metrics, st):
-    """Force device->host value fetch so timers measure execution."""
-    return float(metrics["d_loss"]) + float(
+    """Force device->host value fetch so timers measure execution.
+    (train_steps returns a stacked (n,) metric axis — take the last.)"""
+    return float(np.asarray(metrics["d_loss"]).ravel()[-1]) + float(
         jax.tree.leaves(st.g_params)[0].ravel()[0])
 
 
@@ -78,7 +160,7 @@ def _step_flops(compiled) -> float:
 
 
 def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, flops_cfg=None,
-                   time_unrolled=False):
+                   time_unrolled=False, flops_key=None):
     """Compile the train step for cfg and time it.  Returns
     (steps_per_sec, flops_per_step).
 
@@ -87,11 +169,12 @@ def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, flops_cfg=None,
     re-lowered with the du/acml scans fully unrolled just for counting.
     ``flops_cfg`` optionally supplies a smaller-micro-batch config with
     the same effective batch for the unrolled count (conv FLOPs are
-    linear in batch), for configs whose unrolled form doesn't fit HBM."""
+    linear in batch), for configs whose unrolled form doesn't fit HBM.
+    ``flops_key`` caches the unrolled count in bench_flops.json so
+    reruns skip the count-only compile entirely."""
     from studiogan_tpu.models import build_discriminator, build_generator
     from studiogan_tpu.train import TrainEngine
 
-    O = cfg.OPTIMIZATION
     G, D = build_generator(cfg), build_discriminator(cfg)
     # time_unrolled: CIFAR's 5-D-update scan runs ~2% faster unrolled
     # (XLA schedules across micros) and its cost analysis is then exact,
@@ -118,17 +201,29 @@ def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, flops_cfg=None,
     flops = _step_flops(compiled)  # fallback: undercounts scan bodies
 
     if not (time_unrolled and flops_cfg is None):
-        fcfg = flops_cfg or cfg
-        try:
-            G2, D2 = build_generator(fcfg), build_discriminator(fcfg)
-            eng_u = TrainEngine(fcfg, G2, D2, unroll_scans=True)
-            st_u = eng_u.init_state(jax.random.PRNGKey(0))
-            fi, fl = staged_basket(fcfg)
-            flops = _step_flops(
-                jax.jit(eng_u.train_step).lower(st_u, fi, fl).compile())
-            del st_u
-        except Exception:
-            pass  # keep the (under-counting) looped number
+        cache = _load_flops_cache()
+        if flops_key is not None and flops_key in cache:
+            flops = float(cache[flops_key])
+        else:
+            fcfg = flops_cfg or cfg
+            try:
+                G2, D2 = build_generator(fcfg), build_discriminator(fcfg)
+                eng_u = TrainEngine(fcfg, G2, D2, unroll_scans=True)
+                st_u = eng_u.init_state(jax.random.PRNGKey(0))
+                fi, fl = staged_basket(fcfg)
+                flops = _step_flops(
+                    jax.jit(eng_u.train_step).lower(st_u, fi, fl).compile())
+                del st_u
+                if flops_key is not None:
+                    cache[flops_key] = flops
+                    _save_flops_cache(cache)
+            except Exception:
+                # keep the (under-counting) looped number, but SAY so —
+                # a silent fallback reports a wrong (low) MFU
+                sys.stderr.write(
+                    "bench: unrolled FLOPs count failed, MFU will be "
+                    "under-counted:\n" + traceback.format_exc())
+                sys.stderr.flush()
 
     for _ in range(warmup):
         state, m = step(state, imgs, labels)
@@ -148,9 +243,9 @@ def _bench_cifar_e2e(cfg, n_steps=20, chunk=10):
     chunked put_basket -> train_steps scan, exactly like the CLI train
     loop (main.py chunked dispatch at print_freq granularity)."""
     from studiogan_tpu.data.datasets import Dataset_
-    from studiogan_tpu.data.pipeline import BasketLoader
+    from studiogan_tpu.data.pipeline import BasketLoader, DevicePrefetcher
     from studiogan_tpu.models import build_discriminator, build_generator
-    from studiogan_tpu.parallel.mesh import put_basket, setup_runtime
+    from studiogan_tpu.parallel.mesh import setup_runtime
     from studiogan_tpu.train import TrainEngine
 
     O = cfg.OPTIMIZATION
@@ -166,7 +261,6 @@ def _bench_cifar_e2e(cfg, n_steps=20, chunk=10):
                           basket_multiplier=O.d_updates_per_step * O.acml_steps,
                           random_flip=True, seed=0, prefetch=4,
                           raw_uint8=True)
-    from studiogan_tpu.data.pipeline import DevicePrefetcher
     dev_it = iter(DevicePrefetcher(loader, rt, chunk))
     steps_fn = jax.jit(eng.train_steps, donate_argnums=0,
                        in_shardings=(rt.replicated, rt.basket_chunk,
@@ -191,55 +285,77 @@ def _bench_cifar_e2e(cfg, n_steps=20, chunk=10):
     return max(rates)
 
 
+def _section(name):
+    """Per-workload guard: a failing section logs loudly and the bench
+    still emits its JSON line with everything else (round-2 postmortem:
+    all-or-nothing benches capture nothing)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        try:
+            yield
+        except Exception:
+            results[f"{name}_error"] = traceback.format_exc().strip(
+                ).splitlines()[-1][:200]
+            sys.stderr.write(f"bench section {name} FAILED:\n"
+                             + traceback.format_exc())
+            sys.stderr.flush()
+    return cm()
+
+
 def main():
     from __graft_entry__ import _biggan_cfg
     from studiogan_tpu.config import Configurations
 
-    mpc = os.environ.get("STUDIOGAN_BENCH_MPC") == "1"
-    results = {}
+    threading.Timer(max(30.0, _BUDGET - (time.time() - _T0)),
+                    _watchdog).start()
 
-    peak_tflops = _measure_peak_tflops()
-    results["measured_matmul_peak_tflops"] = round(peak_tflops, 1)
+    mpc = os.environ.get("STUDIOGAN_BENCH_MPC") == "1"
+
+    with _section("peak"):
+        peak_tflops = _measure_peak_tflops()
+        results["measured_matmul_peak_tflops"] = round(peak_tflops, 1)
 
     # --- CIFAR10-32 BigGAN headline (5 D + 1 G, bs64) ----------------------
     cfg = _biggan_cfg()
     cfg.RUN.mixed_precision = mpc
-    sps, flops = _bench_cfg_run(cfg, time_unrolled=True)
-    results["cifar_steps_per_sec"] = round(sps, 3)
-    results["cifar_model_tflops_per_step"] = round(flops / 1e12, 3)
-    results["cifar_mfu"] = round(flops * sps / (peak_tflops * 1e12), 4)
+    with _section("cifar"):
+        sps, flops = _bench_cfg_run(cfg, time_unrolled=True)
+        results["cifar_steps_per_sec"] = round(sps, 3)
+        results["cifar_model_tflops_per_step"] = round(flops / 1e12, 3)
+        results["cifar_mfu"] = round(flops * sps / (peak_tflops * 1e12), 4)
 
-    # --- CIFAR end-to-end through the input pipeline -----------------------
-    results["cifar_steps_per_sec_e2e"] = round(_bench_cifar_e2e(cfg), 3)
-
-    # --- CIFAR10-32 StyleGAN2-D2DCE-DiffAug (the reference's best-FID
-    # CIFAR run: 7.76 steps/s on its rig, 1 step = 2 D + 1 G at bs64,
-    # lazy R1 every d_reg_interval; 32 timed steps amortize the R1 events)
-    scfg = Configurations(os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "configs", "CIFAR10",
-        "StyleGAN2-D2DCE-DiffAug.yaml"))
-    scfg.RUN.train = True
-    scfg.finalize()
-    # FLOPs caveat: an unrolled count of the full step includes BOTH
-    # lax.cond branches, and the lazy-R1 body (double-grad) only executes
-    # every d_reg_interval steps — that count lands above the roofline.
-    # Count the R1-disabled variant instead: a strict LOWER bound on the
-    # per-step model work, giving a lower-bound MFU.
-    sflops_cfg = Configurations(scfg.RUN.cfg_file or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "configs", "CIFAR10",
-        "StyleGAN2-D2DCE-DiffAug.yaml"))
-    sflops_cfg.RUN.train = True
-    sflops_cfg.LOSS.apply_r1_reg = False
-    sflops_cfg.LOSS.r1_place = "N/A"
-    sflops_cfg.finalize()
-    ssps, sflops = _bench_cfg_run(scfg, n_steps=32, windows=2, warmup=4,
-                                  flops_cfg=sflops_cfg)
-    results["stylegan2_cifar_steps_per_sec"] = round(ssps, 3)
-    results["stylegan2_cifar_vs_reference"] = round(
-        ssps / BASELINE_SG2_CIFAR_STEPS_PER_SEC, 3)
-    results["stylegan2_cifar_tflops_per_step_lb"] = round(sflops / 1e12, 3)
-    results["stylegan2_cifar_mfu_lb"] = round(
-        sflops * ssps / (peak_tflops * 1e12), 4)
+    # --- CIFAR10-32 StyleGAN2-D2DCE-DiffAug (2 D + 1 G at bs64, lazy R1
+    # every d_reg_interval; 32 timed steps amortize the R1 events)
+    if _remaining() > 120:
+      with _section("stylegan2"):
+        scfg = Configurations(os.path.join(
+            _REPO, "configs", "CIFAR10", "StyleGAN2-D2DCE-DiffAug.yaml"))
+        scfg.RUN.train = True
+        scfg.finalize()
+        # FLOPs caveat: an unrolled count of the full step includes BOTH
+        # lax.cond branches, and the lazy-R1 body (double-grad) only runs
+        # every d_reg_interval steps — that count lands above the
+        # roofline.  Count the R1-disabled variant instead: a strict
+        # LOWER bound on per-step model work → lower-bound MFU.
+        sflops_cfg = Configurations(os.path.join(
+            _REPO, "configs", "CIFAR10", "StyleGAN2-D2DCE-DiffAug.yaml"))
+        sflops_cfg.RUN.train = True
+        sflops_cfg.LOSS.apply_r1_reg = False
+        sflops_cfg.LOSS.r1_place = "N/A"
+        sflops_cfg.finalize()
+        ssps, sflops = _bench_cfg_run(scfg, n_steps=32, windows=2, warmup=4,
+                                      flops_cfg=sflops_cfg,
+                                      flops_key="sg2_cifar_r1off_unrolled")
+        results["stylegan2_cifar_steps_per_sec"] = round(ssps, 3)
+        results["stylegan2_cifar_vs_reference"] = round(
+            ssps / BASELINE_SG2_CIFAR_STEPS_PER_SEC, 3)
+        results["stylegan2_cifar_tflops_per_step_lb"] = round(sflops / 1e12, 3)
+        results["stylegan2_cifar_mfu_lb"] = round(
+            ssps * sflops / (peak_tflops * 1e12), 4)
+    else:
+        results["stylegan2_skipped_budget"] = True
 
     # --- ImageNet-128 BigGAN (1 D + 1 G, effective batch 256) --------------
     # Largest micro-batch that fits decides throughput (blockwise
@@ -249,36 +365,42 @@ def main():
     # lowering (same effective batch, conv FLOPs linear in batch; the
     # unrolled bs128 form exceeds HBM); at acml=1 the looped count is
     # already complete.
-    def _imagenet_cfg(bs, acml):
-        c = Configurations(os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "configs", "ImageNet",
-            "BigGAN2048.yaml"))
-        c.OPTIMIZATION.batch_size = bs
-        c.OPTIMIZATION.acml_steps = acml
-        c.RUN.mixed_precision = mpc
-        c.finalize()
-        return c
+    if _remaining() > 150:
+      with _section("imagenet128"):
+        def _imagenet_cfg(bs, acml):
+            c = Configurations(os.path.join(
+                _REPO, "configs", "ImageNet", "BigGAN2048.yaml"))
+            c.OPTIMIZATION.batch_size = bs
+            c.OPTIMIZATION.acml_steps = acml
+            c.RUN.mixed_precision = mpc
+            c.finalize()
+            return c
 
-    icfg = _imagenet_cfg(256, 1) if mpc else _imagenet_cfg(128, 2)
-    isps, iflops = _bench_cfg_run(
-        icfg, n_steps=8, windows=2, warmup=2,
-        flops_cfg=None if mpc else _imagenet_cfg(64, 4))
-    eff = icfg.OPTIMIZATION.batch_size * icfg.OPTIMIZATION.acml_steps
-    results["imagenet128_imgs_per_sec_per_chip"] = round(isps * eff, 1)
-    results["imagenet128_model_tflops_per_step"] = round(iflops / 1e12, 3)
-    results["imagenet128_mfu"] = round(
-        iflops * isps / (peak_tflops * 1e12), 4)
-    results["imagenet128_vs_reference_rig"] = round(
-        isps * eff / BASELINE_IMAGENET_IMGS_PER_SEC, 3)
+        icfg = _imagenet_cfg(256, 1) if mpc else _imagenet_cfg(128, 2)
+        isps, iflops = _bench_cfg_run(
+            icfg, n_steps=8, windows=2, warmup=2,
+            flops_cfg=None if mpc else _imagenet_cfg(64, 4),
+            flops_key=f"imagenet128_eff256_unrolled_mpc{int(mpc)}")
+        eff = icfg.OPTIMIZATION.batch_size * icfg.OPTIMIZATION.acml_steps
+        results["imagenet128_imgs_per_sec_per_chip"] = round(isps * eff, 1)
+        results["imagenet128_model_tflops_per_step"] = round(iflops / 1e12, 3)
+        results["imagenet128_mfu"] = round(
+            iflops * isps / (peak_tflops * 1e12), 4)
+        results["imagenet128_vs_reference_rig"] = round(
+            isps * eff / BASELINE_IMAGENET_IMGS_PER_SEC, 3)
+    else:
+        results["imagenet128_skipped_budget"] = True
 
-    print(json.dumps({
-        "metric": "biggan_cifar10_train_steps_per_sec",
-        "value": results["cifar_steps_per_sec"],
-        "unit": "steps/s (1 step = 5 D + 1 G updates, bs64)",
-        "vs_baseline": round(
-            results["cifar_steps_per_sec"] / BASELINE_CIFAR_STEPS_PER_SEC, 4),
-        **results,
-    }))
+    # --- CIFAR end-to-end through the input pipeline -----------------------
+    # (last: it re-proves the host path is hidden, not a new headline)
+    if _remaining() > 90:
+      with _section("cifar_e2e"):
+        results["cifar_steps_per_sec_e2e"] = round(_bench_cifar_e2e(cfg), 3)
+    else:
+        results["cifar_e2e_skipped_budget"] = True
+
+    _emit_json_line()
+    os._exit(0)  # don't wait for the watchdog timer thread
 
 
 if __name__ == "__main__":

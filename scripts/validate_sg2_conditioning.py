@@ -98,8 +98,8 @@ def main():
             err = cond_error(eng, state)
             rate = (start + CHUNK) / (time.time() - t0)
             print(f"step {start + CHUNK}: cond_err={err:.4f} "
-                  f"d_loss={float(metrics['d_loss']):.3f} "
-                  f"g_loss={float(metrics['g_loss']):.3f} "
+                  f"d_loss={float(np.asarray(metrics['d_loss']).ravel()[-1]):.3f} "
+                  f"g_loss={float(np.asarray(metrics['g_loss']).ravel()[-1]):.3f} "
                   f"({rate:.1f} steps/s)", flush=True)
     final = cond_error(eng, state)
     print(f"FINAL cond_err after {total} steps: {final:.4f}")

@@ -520,6 +520,20 @@ class Configurations:
         if O.world_size > 1 and R.synchronized_bn:
             err(not R.batch_statistics,
                 "batch_statistics cannot be used with synchronized_bn.")
+        if O.world_size > 1 and not R.synchronized_bn:
+            # semantic divergence vs the reference, documented on purpose:
+            # under GSPMD the batch moments are computed over the GLOBAL
+            # (mesh-wide) batch by construction, i.e. -sync_bn is
+            # effectively always on.  The reference's DDP default
+            # (per-replica BN stats, reference models/model.py:160-166)
+            # is not reproducible here — strictly stronger statistics,
+            # but multi-chip reproductions of reference runs should know.
+            import warnings
+            warnings.warn(
+                "BatchNorm statistics are GLOBAL (cross-replica) under "
+                "SPMD regardless of -sync_bn; the reference's per-replica"
+                " default cannot be reproduced multi-chip (README #batch-"
+                "normalization-semantics).")
         if D.name in ("CIFAR10", "CIFAR100"):
             err(R.ref_dataset in ("train", "test"),
                 "CIFAR has no validation split; ref_dataset must be train or "

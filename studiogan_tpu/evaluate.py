@@ -87,6 +87,11 @@ def evaluate(dset1: str, dset2: str, metrics: list[str],
     if "prdc" in metrics:
         assert feats1 is not None, "PRDC needs features, not moments"
         out.update(prdc_mod.calculate_pr_dc(feats1, feats2, nearest_k))
+    if eval_model.random_weights and not os.environ.get(
+            "STUDIOGAN_ALLOW_RANDOM_BACKBONE"):
+        # honest-eval guardrail (same as Evaluator.evaluate): random
+        # backbone weights -> scores are not comparable, tag every key
+        out = {f"{k}_RANDOM_BACKBONE": v for k, v in out.items()}
     return out
 
 

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from studiogan_tpu.config import Configurations
-from studiogan_tpu.utils import log as log_util, misc
+from studiogan_tpu.utils import log as log_util, misc, sn_monitor
 
 
 def build_parser() -> ArgumentParser:
@@ -266,6 +266,14 @@ def run(argv=None):
         cur = step0
         while cur < O.total_steps:
             n = min(chunk, O.total_steps - cur)
+            # a resumed/converted checkpoint's step can be ANY integer
+            # (reference .pth metadata steps are arbitrary): shorten the
+            # first chunk so later boundaries land on print_freq
+            # multiples — otherwise cur % print_freq never hits 0 and
+            # no logging/saving/eval fires for the whole run
+            misalign = (-cur) % cfg.RUN.print_freq
+            if chunk > 1 and 0 < misalign < n:
+                n = misalign
             if n == chunk and chunk > 1:
                 gi, gl = next(dev_it)  # transferred on the prefetch thread
                 state, metrics = steps_fn(state, gi, gl)
@@ -287,7 +295,13 @@ def run(argv=None):
                 logger.info("Profiler trace written to %s",
                             os.path.join(cfg.RUN.save_dir, "profile"))
             if cur % cfg.RUN.print_freq == 0:
-                m = jax.device_get(metrics)
+                # train_steps returns the chunk's FULL per-step metric
+                # stack (leading (n,) axis) — write one stats row per
+                # step, matching the reference's per-step accumulation
+                # (worker.py:686); the single-step path yields scalars
+                m = {k: np.atleast_1d(np.asarray(v))
+                     for k, v in jax.device_get(metrics).items()}
+                nrows = len(next(iter(m.values())))
                 now = time()
                 imgs_per_sec = ((cur - last_log_step) * O.batch_size
                                 * (O.d_updates_per_step * O.acml_steps)
@@ -296,18 +310,36 @@ def run(argv=None):
                 logger.info(log_util.PROGRESS_FORMAT.format(
                     step=cur, progress=cur / O.total_steps,
                     elapsed=misc.elapsed_time(start),
-                    gen_loss=float(m["g_loss"]), dis_loss=float(m["d_loss"]))
+                    gen_loss=float(m["g_loss"][-1]),
+                    dis_loss=float(m["d_loss"][-1]))
                     + f"Imgs/sec: {imgs_per_sec:,.0f}")
-                stats.write(cur, imgs_per_sec=imgs_per_sec,
-                            **{k: v for k, v in m.items()})
+                for j in range(nrows):
+                    row = {k: float(v[j]) for k, v in m.items()}
+                    if j == nrows - 1:
+                        row["imgs_per_sec"] = imgs_per_sec
+                    stats.write(cur - nrows + 1 + j, **row)
+                # spectral-norm monitoring (reference worker.py:745-753 /
+                # misc.py:285): sigma of every SN'd weight from the
+                # persisted u/v power-iteration vectors
+                sigmas = {}
+                if cfg.MODEL.apply_g_sn and "sn" in state.g_state:
+                    sigmas.update(sn_monitor.calculate_all_sn(
+                        state.g_params, state.g_state["sn"], prefix="Gen/"))
+                if cfg.MODEL.apply_d_sn and "sn" in state.d_state:
+                    sigmas.update(sn_monitor.calculate_all_sn(
+                        state.d_params, state.d_state["sn"], prefix="Dis/"))
+                if sigmas:
+                    stats.write(cur, **sigmas)
             if cur % cfg.RUN.save_freq == 0:
                 if cfg.RUN.vis_fake_images:
                     fakes, flabels = eng.generate(
                         state, jax.random.PRNGKey(cur), min(64, O.batch_size))
+                    fakes_np = np.asarray(jax.device_get(fakes))
                     misc.save_image_grid(
-                        np.asarray(jax.device_get(fakes)),
+                        fakes_np,
                         os.path.join(cfg.RUN.save_dir, "figures", run_name,
                                      f"generated_canvas_{cur}.png"))
+                    stats.log_image(cur, fakes_np)  # reference worker.py:798
                 if evaluator is not None:
                     scores = evaluator.evaluate(eng, state, cfg.RUN.eval_metrics)
                     logger.info("Eval @%d: %s", cur, json.dumps(scores))

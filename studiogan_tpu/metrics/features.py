@@ -18,14 +18,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_fused_extractor(engine, eval_model, batch_size: int, rt,
-                         override_g_state=None):
+def make_fused_extractor(engine, eval_model, batch_size: int, rt):
     """One jitted SPMD program: z/y sampling -> G (EMA weights) ->
     quantize -> legacy resize -> backbone forward, batch axis sharded over
     the mesh.  Requires eval_model.post_resizer == 'legacy' (the PIL
-    clean/friendly resizers are host-side by design)."""
+    clean/friendly resizers are host-side by design).
 
-    def step(state, k):
+    ``override_g_state`` is a TRACED argument (not baked into the
+    closure) so one compiled program serves every evaluation round."""
+
+    def step(state, k, override_g_state):
         imgs, labs = engine.generate(
             state, k, batch_size,
             truncation_factor=engine.cfg.RUN.truncation_factor,
@@ -37,8 +39,23 @@ def make_fused_extractor(engine, eval_model, batch_size: int, rt,
         feats, logits = eval_model._forward(resized)
         return feats, logits, labs
 
-    return jax.jit(step, in_shardings=(rt.replicated, rt.replicated),
+    return jax.jit(step,
+                   in_shardings=(rt.replicated, rt.replicated, rt.replicated),
                    out_shardings=(rt.replicated,) * 3)
+
+
+def _fused_extractor_cached(engine, eval_model, batch_size: int, rt,
+                            has_override: bool):
+    """One compiled extractor per (engine, mesh, batch, override-shape) —
+    re-jitting per evaluation round leaked retired executables and paid a
+    full recompile every eval."""
+    cache = getattr(eval_model, "_fused_cache", None)
+    if cache is None:
+        cache = eval_model._fused_cache = {}
+    key = (id(engine), id(rt), batch_size, has_override)
+    if key not in cache:
+        cache[key] = make_fused_extractor(engine, eval_model, batch_size, rt)
+    return cache[key]
 
 
 def generate_images_and_stack_features(engine, state, eval_model,
@@ -53,12 +70,12 @@ def generate_images_and_stack_features(engine, state, eval_model,
             and batch_size % rt.num_devices == 0
             and eval_model.post_resizer == "legacy"
             and not engine.cfg.RUN.langevin_sampling):
-        fused = make_fused_extractor(engine, eval_model, batch_size, rt,
-                                     override_g_state=override_g_state)
+        fused = _fused_extractor_cached(engine, eval_model, batch_size, rt,
+                                        override_g_state is not None)
     for i in range(n_batches):
         rng, k = jax.random.split(rng)
         if fused is not None:
-            f, logit, labs = fused(state, k)
+            f, logit, labs = fused(state, k, override_g_state)
             f, logit = np.asarray(f), np.asarray(logit)
         else:
             imgs, labs = engine.generate(

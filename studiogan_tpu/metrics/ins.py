@@ -18,15 +18,45 @@ def calculate_kl_div(ps: np.ndarray, splits: int) -> tuple[float, float]:
     return float(np.mean(scores)), float(np.std(scores))
 
 
+_IMAGENET_SUBSETS = ("Baby_ImageNet", "Papa_ImageNet", "Grandpa_ImageNet")
+
+
 def eval_features(probs: np.ndarray, labels: np.ndarray | None, splits: int,
-                  is_acc: bool = False,
-                  label_remap: np.ndarray | None = None):
-    """reference ins.py:45-79: IS + optional top1/top5 vs true labels."""
+                  is_acc: bool = False, data_name: str | None = None,
+                  classes: list[str] | None = None,
+                  is_torch_backbone: bool = True):
+    """reference ins.py:45-79: IS + optional top1/top5 vs true labels.
+
+    ``classes`` is the dataset's folder(WNID) list in label order; with
+    it, dataset labels are remapped into the backbone's class space via
+    the bundled folder-label tables (reference misc.py:582-595):
+
+      * torch backbones, full ImageNet: folder order == torchvision
+        order, labels used directly;
+      * torch backbones, Baby/Papa/Grandpa subsets: WNID -> 0..999;
+      * InceptionV3_tf (1008 logits, logit 0 = background): WNID -> TF
+        order; full-set accuracy reads logits 1..1000, subsets 0..1000
+        with +1-shifted labels (reference ins.py:67-76)."""
     is_score, is_std = calculate_kl_div(probs, splits)
     top1 = top5 = "N/A"
     if is_acc and labels is not None:
-        pred = probs if label_remap is None else probs[:, label_remap]
-        order = np.argsort(-pred, axis=1)
-        top1 = float(np.mean(order[:, 0] == labels))
-        top5 = float(np.mean((order[:, :5] == labels[:, None]).any(axis=1)))
+        labels = np.asarray(labels)
+        subset = data_name in _IMAGENET_SUBSETS
+        if classes is not None and (subset or not is_torch_backbone):
+            from studiogan_tpu.utils.imagenet_labels import (
+                load_imagenet_folder_label_dict)
+            table = load_imagenet_folder_label_dict(data_name or "ImageNet",
+                                                    is_torch_backbone)
+            conv = np.asarray([table[classes[int(l)]] for l in labels])
+        else:
+            conv = labels
+        if is_torch_backbone:
+            scores, y = probs, conv
+        elif subset:
+            scores, y = probs[:, 0:1001], conv + 1
+        else:
+            scores, y = probs[:, 1:1001], conv
+        order = np.argsort(-np.asarray(scores), axis=1)
+        top1 = float(np.mean(order[:, 0] == y))
+        top5 = float(np.mean((order[:, :5] == y[:, None]).any(axis=1)))
     return is_score, is_std, top1, top5

@@ -261,19 +261,39 @@ class Evaluator:
             return {}
         self.prepare_real_statistics()
         rng = rng if rng is not None else jax.random.PRNGKey(int(state.step))
-        fake_feats, fake_probs, _ = feats_mod.generate_images_and_stack_features(
-            engine, state, self.eval_model, self.num_generate,
-            batch_size=min(self.cfg.OPTIMIZATION.batch_size, 256), rng=rng,
-            override_g_state=override_g_state, rt=self.rt)
+        fake_feats, fake_probs, fake_labels = \
+            feats_mod.generate_images_and_stack_features(
+                engine, state, self.eval_model, self.num_generate,
+                batch_size=min(self.cfg.OPTIMIZATION.batch_size, 256), rng=rng,
+                override_g_state=override_g_state, rt=self.rt)
         out = {}
         if "fid" in metrics:
             out["fid"] = fid_mod.calculate_fid(self._mu, self._sigma, fake_feats)
         if "is" in metrics:
-            is_score, is_std, _, _ = ins_mod.eval_features(fake_probs, None,
-                                                           splits=splits)
+            # ImageNet runs also report classifier top1/top5 on the
+            # conditioning labels (reference worker.py:812,846-868),
+            # with folder-label remap where orders differ (ins.py:45-79)
+            is_acc = ("ImageNet" in self.cfg.DATA.name
+                      and "Tiny" not in self.cfg.DATA.name)
+            is_score, is_std, top1, top5 = ins_mod.eval_features(
+                fake_probs, fake_labels if is_acc else None, splits=splits,
+                is_acc=is_acc, data_name=self.cfg.DATA.name,
+                classes=getattr(self.ref_dataset, "classes", None),
+                is_torch_backbone=(
+                    self.eval_model.eval_backbone != "InceptionV3_tf"))
             out["is"] = is_score
             out["is_std"] = is_std
+            if is_acc and top1 != "N/A":
+                out["top1"], out["top5"] = top1, top5
         if "prdc" in metrics:
             out.update(prdc_mod.calculate_pr_dc(self._real_feats, fake_feats,
                                                 self.nearest_k))
+        if self.eval_model.random_weights and not os.environ.get(
+                "STUDIOGAN_ALLOW_RANDOM_BACKBONE"):
+            # honest-eval guardrail: without pretrained backbone weights
+            # these numbers are NOT comparable to anything — tag every
+            # key so logs/JSONL can never pass them off as real scores
+            # (set STUDIOGAN_ALLOW_RANDOM_BACKBONE=1 to keep bare keys,
+            # e.g. in smoke tests)
+            out = {f"{k}_RANDOM_BACKBONE": v for k, v in out.items()}
         return out

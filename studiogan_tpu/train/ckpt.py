@@ -26,13 +26,28 @@ def _ckptr():
 
 
 _pending: list[threading.Thread] = []
+_async_errors: list[BaseException] = []
 
 
 def wait_for_pending_saves() -> None:
     """Join any in-flight async checkpoint writes (call before exit /
-    before loading what might still be writing)."""
+    before loading what might still be writing).  Re-raises any error the
+    background writer hit (disk full, orbax serialization failure) —
+    training must not continue believing checkpoints exist."""
     while _pending:
         _pending.pop().join()
+    if _async_errors:
+        err = _async_errors[:]
+        _async_errors.clear()
+        raise RuntimeError(
+            f"async checkpoint write(s) failed: {err!r}") from err[0]
+
+
+def _write_guarded(*args) -> None:
+    try:
+        _write(*args)
+    except BaseException as e:  # noqa: BLE001 — propagated via wait_for_…
+        _async_errors.append(e)
 
 
 def _write(path: str, host_state, metadata, ckpt_dir: str, when: str,
@@ -80,8 +95,8 @@ def save_ckpt(ckpt_dir: str, state, metadata: dict | None = None,
         snap = jax.tree.map(
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
         t = threading.Thread(
-            target=lambda: _write(path, jax.device_get(snap), metadata,
-                                  ckpt_dir, when, step),
+            target=lambda: _write_guarded(path, jax.device_get(snap),
+                                          metadata, ckpt_dir, when, step),
             daemon=True)
         t.start()
         _pending.append(t)
@@ -91,15 +106,23 @@ def save_ckpt(ckpt_dir: str, state, metadata: dict | None = None,
 
 
 def find_ckpt(ckpt_dir: str, load_best: bool = False) -> str | None:
-    """reference ckpt.py:77-99: glob by prefix, pick best or latest."""
+    """reference ckpt.py:77-99: glob by prefix, pick best or latest.
+
+    Only fully-written snapshots qualify: a crash mid async/sync save
+    leaves '…-step=N.tmp' or orbax '*-tmp-*' staging dirs behind, which
+    must never break resume — they're swept here and skipped by the
+    isdigit guard (same filter as the prune loop in _write)."""
     if not os.path.isdir(ckpt_dir):
         return None
     when = "best" if load_best else "current"
+    prefix = f"model={when}-weights-step="
     cands = []
     for name in os.listdir(ckpt_dir):
-        if name.startswith(f"model={when}-weights-step=") \
-                and not name.endswith(".meta.json"):
-            cands.append((int(name.split("step=")[1]), name))
+        if name.endswith(".tmp") or "orbax-checkpoint-tmp" in name:
+            shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+            continue
+        if name.startswith(prefix) and name[len(prefix):].isdigit():
+            cands.append((int(name[len(prefix):]), name))
     if not cands:
         return None
     return os.path.join(ckpt_dir, max(cands)[1])

@@ -873,15 +873,19 @@ class TrainEngine:
         chunk instead of per step (the reference pays a full Python
         worker-loop round trip per step, loader.py:392-398).
 
-        basket_imgs: (n_steps, d_updates*acml, B, H, W, C)."""
+        basket_imgs: (n_steps, d_updates*acml, B, H, W, C).
+
+        Returns the FULL per-step metric stack — every metric leaf has a
+        leading (n_steps,) axis (the scan's stacked ys) — so chunked
+        dispatch loses no loss-curve granularity vs the reference's
+        per-step accumulation (reference worker.py:686)."""
         def body(st, xs):
             imgs, labs = xs
             st, metrics = self.train_step(st, imgs, labs)
             return st, metrics
 
         state, metrics = jax.lax.scan(body, state, (basket_imgs, basket_labs))
-        last = jax.tree.map(lambda m: m[-1], metrics)
-        return state, last
+        return state, metrics
 
     # -- inference ---------------------------------------------------------
 

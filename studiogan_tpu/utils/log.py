@@ -72,6 +72,19 @@ class StatsWriter:
             self._wandb.log({k: v for k, v in rec.items() if k != "step"},
                             step=step)
 
+    def log_image(self, step: int, images, key: str = "generated_images"):
+        """Mirror an image canvas to wandb (reference worker.py:797-798
+        logs the fake-image grid alongside the PNG on disk).  images:
+        (N,H,W,C) float in [-1,1] or a single HWC uint8 canvas."""
+        if self._wandb is None:
+            return
+        import numpy as np
+        x = np.asarray(images)
+        if x.dtype != np.uint8:
+            x = np.clip((x + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
+        self._wandb.log({key: [self._wandb.Image(im) for im in
+                               (x if x.ndim == 4 else [x])]}, step=step)
+
     def plot_curves(self, out_path: str) -> str | None:
         """Loss/metric curves from the JSONL log (reference misc.py:419-480
         figure PNGs)."""

@@ -32,3 +32,8 @@ _CACHE = os.path.join(os.path.dirname(os.path.dirname(
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# Tests run without pretrained eval-backbone weights by design — allow
+# untagged scores suite-wide; the guardrail itself is covered explicitly
+# in test_metrics.TestEvaluatorEndToEnd (which pops this var).
+os.environ.setdefault("STUDIOGAN_ALLOW_RANDOM_BACKBONE", "1")

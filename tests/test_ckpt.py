@@ -66,3 +66,38 @@ class TestCkpt:
         found = ckpt_util.find_ckpt(d, load_best=True)
         restored, _ = ckpt_util.load_ckpt(found, state)
         assert int(restored.step) == step_at_save
+
+    def test_resume_survives_stale_tmp_dirs(self, tmp_path):
+        """A crash mid-save leaves '…step=N.tmp' / orbax staging dirs
+        behind; find_ckpt must sweep them and resume from the last good
+        snapshot instead of raising (ADVICE r2: int() on the .tmp
+        suffix broke resume)."""
+        state = _tiny_state()
+        d = str(tmp_path)
+        good = ckpt_util.save_ckpt(d, state, None, when="current")
+        os.makedirs(os.path.join(d, "model=current-weights-step=99.tmp"))
+        os.makedirs(os.path.join(
+            d, "model=current-weights-step=99.orbax-checkpoint-tmp-123"))
+        found = ckpt_util.find_ckpt(d)
+        assert found == good
+        assert not os.path.exists(
+            os.path.join(d, "model=current-weights-step=99.tmp"))
+
+    def test_async_write_errors_propagate(self, tmp_path, monkeypatch):
+        """A failed background write (disk full, serialization error)
+        must surface at wait_for_pending_saves, not vanish with the
+        daemon thread."""
+        import pytest
+
+        state = _tiny_state()
+
+        def boom(*a, **k):
+            raise OSError("no space left on device")
+
+        monkeypatch.setattr(ckpt_util, "_write", boom)
+        ckpt_util.save_ckpt(str(tmp_path), state, None, when="current",
+                            async_save=True)
+        with pytest.raises(RuntimeError, match="async checkpoint"):
+            ckpt_util.wait_for_pending_saves()
+        # error queue drained: a second wait is clean
+        ckpt_util.wait_for_pending_saves()

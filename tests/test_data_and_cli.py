@@ -109,3 +109,58 @@ OPTIMIZATION:
             "total_steps: 3", "total_steps: 4"))
         state2 = cli.run(argv + ["-ckpt", ckpt_dir])
         assert int(state2.step) == 4
+
+    def test_stats_jsonl_per_step_rows_and_sn_sigmas(self, tmp_path):
+        """Chunked dispatch must log print_freq-many per-step loss rows
+        per window (reference worker.py:686 accumulates per step) plus
+        SN sigma monitoring rows (reference worker.py:745-753); a
+        resumed run whose step0 is NOT a print_freq multiple must
+        realign and keep logging."""
+        from studiogan_tpu import main as cli
+
+        cfg_yaml = tmp_path / "tiny.yaml"
+        cfg_yaml.write_text("""
+DATA:
+  name: "CIFAR10"
+  img_size: 32
+  num_classes: 10
+MODEL:
+  backbone: "big_resnet"
+  g_cond_mtd: "cBN"
+  d_cond_mtd: "PD"
+  apply_g_sn: True
+  apply_d_sn: True
+  z_dim: 80
+  g_shared_dim: 16
+  g_conv_dim: 8
+  d_conv_dim: 8
+OPTIMIZATION:
+  batch_size: 8
+  d_updates_per_step: 1
+  total_steps: 3
+""")
+        argv = ["-t", "-cfg", str(cfg_yaml), "-save", str(tmp_path),
+                "--synthetic_data", "-metrics", "none",
+                "--print_freq", "2", "--save_freq", "2", "--seed", "5"]
+        cli.run(argv)
+
+        def stat_rows():
+            rows = []
+            for p in (tmp_path / "statistics").rglob("train_stats.jsonl"):
+                rows += [json.loads(l) for l in open(p)]
+            return rows
+
+        rows = stat_rows()
+        loss_steps = {r["step"] for r in rows if "g_loss" in r}
+        assert {1, 2} <= loss_steps  # per-step rows, not last-of-chunk
+        assert any(k.startswith("Gen/") for r in rows for k in r)
+        assert any(k.startswith("Dis/") for r in rows for k in r)
+
+        # resume from step 3 (NOT a multiple of print_freq=2): the first
+        # chunk must shorten to realign boundaries
+        ckpts = list((tmp_path / "checkpoints").rglob("model=current*"))
+        cfg_yaml.write_text(cfg_yaml.read_text().replace(
+            "total_steps: 3", "total_steps: 6"))
+        cli.run(argv + ["-ckpt", str(ckpts[0].parent)])
+        loss_steps = {r["step"] for r in stat_rows() if "g_loss" in r}
+        assert {4, 5, 6} <= loss_steps

@@ -332,3 +332,37 @@ def test_remat_matches_plain():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=5e-4),
                  d0, d1)
     np.testing.assert_allclose(dl0, dl1, rtol=1e-4, atol=1e-5)
+
+
+def test_train_steps_returns_per_step_metric_stack():
+    """Chunked dispatch must not discard loss-curve granularity: the
+    metric stack from train_steps carries one row per step and each row
+    equals the corresponding sequential train_step call (reference
+    worker.py:686 accumulates per-step)."""
+    cfg = tiny_biggan_cfg()
+    G, D = build_generator(cfg), build_discriminator(cfg)
+    eng = TrainEngine(cfg, G, D)
+    n_chunk = 3
+
+    # sequential per-step loop
+    state = eng.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(eng.train_step)
+    seq = []
+    baskets = [make_basket(cfg, seed=i) for i in range(n_chunk)]
+    for imgs, labels in baskets:
+        state, m = step(state, imgs, labels)
+        seq.append(jax.device_get(m))
+
+    # one chunked dispatch over the same baskets
+    state2 = eng.init_state(jax.random.PRNGKey(0))
+    gi = jnp.stack([b[0] for b in baskets])
+    gl = jnp.stack([b[1] for b in baskets])
+    state2, stacked = jax.jit(eng.train_steps)(state2, gi, gl)
+    stacked = jax.device_get(stacked)
+
+    for k in seq[0]:
+        assert np.asarray(stacked[k]).shape[0] == n_chunk, k
+        for j in range(n_chunk):
+            np.testing.assert_allclose(
+                np.asarray(stacked[k])[j], np.asarray(seq[j][k]),
+                rtol=2e-4, atol=2e-5, err_msg=f"{k}[{j}]")

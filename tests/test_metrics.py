@@ -62,6 +62,48 @@ class TestIS:
         _, _, top1, top5 = ins.eval_features(probs, labels, 1, is_acc=True)
         assert top1 == 1.0 and top5 == 1.0
 
+    def test_top1_subset_remap_torch_backbone(self):
+        """Baby/Papa/Grandpa folder order differs from torchvision's
+        1000-class order: labels must be remapped through the bundled
+        WNID table (reference ins.py:58-62 + misc.py:582-585)."""
+        from studiogan_tpu.utils.imagenet_labels import (
+            load_imagenet_folder_label_dict)
+        table = load_imagenet_folder_label_dict("Baby_ImageNet", True)
+        classes = ["n01443537", "n01440764", "n01484850"]  # scrambled
+        labels = np.array([0, 1, 2, 1])
+        probs = np.zeros((4, 1000))
+        for i, l in enumerate(labels):
+            probs[i, table[classes[l]]] = 1.0
+        probs += 1e-6
+        _, _, top1, top5 = ins.eval_features(
+            probs, labels, 1, is_acc=True, data_name="Baby_ImageNet",
+            classes=classes, is_torch_backbone=True)
+        assert top1 == 1.0 and top5 == 1.0
+        # wrong-label control
+        _, _, top1_w, _ = ins.eval_features(
+            probs, (labels + 1) % 3, 1, is_acc=True,
+            data_name="Baby_ImageNet", classes=classes,
+            is_torch_backbone=True)
+        assert top1_w == 0.0
+
+    def test_top1_tf_backbone_background_offset(self):
+        """InceptionV3_tf logit 0 is the background class: full-ImageNet
+        accuracy reads logits 1..1000 against TF-order labels
+        (reference ins.py:73-76)."""
+        from studiogan_tpu.utils.imagenet_labels import (
+            load_imagenet_folder_label_dict)
+        table = load_imagenet_folder_label_dict("ImageNet", False)
+        classes = ["n02100735", "n02119789"]  # tf order: 1, 0
+        labels = np.array([0, 1, 0])
+        probs = np.zeros((3, 1008))
+        for i, l in enumerate(labels):
+            probs[i, table[classes[l]] + 1] = 1.0  # +1: background at 0
+        probs += 1e-6
+        _, _, top1, top5 = ins.eval_features(
+            probs, labels, 1, is_acc=True, data_name="ImageNet",
+            classes=classes, is_torch_backbone=False)
+        assert top1 == 1.0 and top5 == 1.0
+
 
 class TestPRDC:
     def test_identical_sets_perfect(self):
@@ -202,7 +244,21 @@ class TestEvaluatorEndToEnd:
             data_name="SYNTHETIC", data_dir=None, train=True,
             synthetic_size=64, num_classes=10, img_size=32),
             num_generate=64)
-        scores = ev.evaluate(eng, state, ["fid", "is", "prdc"])
+        # honest-eval guardrail: random-weight backbone scores are tagged
+        # unless explicitly allowed — a run without pretrained weights
+        # must never emit an unqualified "fid"
+        import os
+        saved = os.environ.pop("STUDIOGAN_ALLOW_RANDOM_BACKBONE", None)
+        try:
+            tagged = ev.evaluate(eng, state, ["fid"])
+            assert "fid" not in tagged and "fid_RANDOM_BACKBONE" in tagged
+            os.environ["STUDIOGAN_ALLOW_RANDOM_BACKBONE"] = "1"
+            scores = ev.evaluate(eng, state, ["fid", "is", "prdc"])
+        finally:
+            if saved is None:
+                os.environ.pop("STUDIOGAN_ALLOW_RANDOM_BACKBONE", None)
+            else:
+                os.environ["STUDIOGAN_ALLOW_RANDOM_BACKBONE"] = saved
         assert np.isfinite(scores["fid"]) and scores["fid"] > 0
         assert scores["is"] >= 1.0
         assert set(scores) >= {"fid", "is", "precision", "recall",
