@@ -22,7 +22,7 @@ driver's run timed out mid-compile and captured nothing):
   * unrolled-scan FLOPs counts are cached in ``bench_flops.json``
     (committed), so reruns never pay the count-only lower+compiles;
   * a watchdog thread emits the JSON line with whatever workloads
-    completed after ``STUDIOGAN_BENCH_BUDGET_S`` seconds (default 780)
+    completed after ``STUDIOGAN_BENCH_BUDGET_S`` seconds (default 960)
     and exits 0 — partial numbers beat a silent timeout;
   * per-workload failures are logged to stderr, never swallowed.
 
@@ -59,7 +59,7 @@ BASELINE_SG2_CIFAR_STEPS_PER_SEC = 7.755
 
 _FLOPS_SIDECAR = os.path.join(_REPO, "bench_flops.json")
 _T0 = time.time()
-_BUDGET = float(os.environ.get("STUDIOGAN_BENCH_BUDGET_S", "780"))
+_BUDGET = float(os.environ.get("STUDIOGAN_BENCH_BUDGET_S", "960"))
 
 results: dict = {}
 _emitted = threading.Event()
@@ -100,6 +100,11 @@ def _watchdog():
 
 def _remaining() -> float:
     return _BUDGET - (time.time() - _T0)
+
+
+def _mark(msg: str) -> None:
+    sys.stderr.write(f"bench [{time.time() - _T0:7.1f}s] {msg}\n")
+    sys.stderr.flush()
 
 
 def _load_flops_cache() -> dict:
@@ -314,22 +319,75 @@ def main():
     mpc = os.environ.get("STUDIOGAN_BENCH_MPC") == "1"
 
     with _section("peak"):
-        peak_tflops = _measure_peak_tflops()
+        _mark("peak: start")
+        # the chained-matmul peak is a hardware constant; its ~8k x 8k
+        # scan costs minutes of remote compile per run (the axon compile
+        # cache does not persist across sessions), so cache the measured
+        # value in the sidecar — STUDIOGAN_BENCH_REMEASURE_PEAK=1 forces
+        # a fresh measurement
+        cache = _load_flops_cache()
+        pk = f"measured_peak_tflops_{os.environ.get('PALLAS_AXON_TPU_GEN', 'tpu')}"
+        if pk in cache and not os.environ.get("STUDIOGAN_BENCH_REMEASURE_PEAK"):
+            peak_tflops = float(cache[pk])
+            results["peak_from_sidecar"] = True
+        else:
+            peak_tflops = _measure_peak_tflops()
+            cache[pk] = round(peak_tflops, 1)
+            _save_flops_cache(cache)
         results["measured_matmul_peak_tflops"] = round(peak_tflops, 1)
 
     # --- CIFAR10-32 BigGAN headline (5 D + 1 G, bs64) ----------------------
     cfg = _biggan_cfg()
     cfg.RUN.mixed_precision = mpc
     with _section("cifar"):
+        _mark("cifar: start")
         sps, flops = _bench_cfg_run(cfg, time_unrolled=True)
+        _mark("cifar: done")
         results["cifar_steps_per_sec"] = round(sps, 3)
         results["cifar_model_tflops_per_step"] = round(flops / 1e12, 3)
         results["cifar_mfu"] = round(flops * sps / (peak_tflops * 1e12), 4)
 
+    # --- ImageNet-128 BigGAN (1 D + 1 G, effective batch 256) --------------
+    # Largest micro-batch that fits decides throughput (blockwise
+    # attention removed the (N,4096,1024) map ceiling): bf16 runs the
+    # whole effective batch as ONE bs256 micro; fp32 needs bs128 x acml2.
+    # FLOPs for the acml>1 split are counted on the unrolled bs64 x acml4
+    # lowering (same effective batch, conv FLOPs linear in batch; the
+    # unrolled bs128 form exceeds HBM); at acml=1 the looped count is
+    # already complete.
+    if _remaining() > 420:  # ~300s remote compile + timing
+      with _section("imagenet128"):
+        _mark("imagenet128: start")
+        def _imagenet_cfg(bs, acml):
+            c = Configurations(os.path.join(
+                _REPO, "configs", "ImageNet", "BigGAN2048.yaml"))
+            c.OPTIMIZATION.batch_size = bs
+            c.OPTIMIZATION.acml_steps = acml
+            c.RUN.mixed_precision = mpc
+            c.finalize()
+            return c
+
+        icfg = _imagenet_cfg(256, 1) if mpc else _imagenet_cfg(128, 2)
+        isps, iflops = _bench_cfg_run(
+            icfg, n_steps=8, windows=2, warmup=2,
+            flops_cfg=None if mpc else _imagenet_cfg(64, 4),
+            flops_key=f"imagenet128_eff256_unrolled_mpc{int(mpc)}")
+        eff = icfg.OPTIMIZATION.batch_size * icfg.OPTIMIZATION.acml_steps
+        results["imagenet128_imgs_per_sec_per_chip"] = round(isps * eff, 1)
+        results["imagenet128_model_tflops_per_step"] = round(iflops / 1e12, 3)
+        results["imagenet128_mfu"] = round(
+            iflops * isps / (peak_tflops * 1e12), 4)
+        results["imagenet128_vs_reference_rig"] = round(
+            isps * eff / BASELINE_IMAGENET_IMGS_PER_SEC, 3)
+        _mark("imagenet128: done")
+    else:
+        results["imagenet128_skipped_budget"] = True
+
     # --- CIFAR10-32 StyleGAN2-D2DCE-DiffAug (2 D + 1 G at bs64, lazy R1
     # every d_reg_interval; 32 timed steps amortize the R1 events)
-    if _remaining() > 120:
+    if _remaining() > 380:  # ~300s remote compile + timing
       with _section("stylegan2"):
+        _mark("stylegan2: start")
         scfg = Configurations(os.path.join(
             _REPO, "configs", "CIFAR10", "StyleGAN2-D2DCE-DiffAug.yaml"))
         scfg.RUN.train = True
@@ -354,47 +412,15 @@ def main():
         results["stylegan2_cifar_tflops_per_step_lb"] = round(sflops / 1e12, 3)
         results["stylegan2_cifar_mfu_lb"] = round(
             ssps * sflops / (peak_tflops * 1e12), 4)
+        _mark("stylegan2: done")
     else:
         results["stylegan2_skipped_budget"] = True
 
-    # --- ImageNet-128 BigGAN (1 D + 1 G, effective batch 256) --------------
-    # Largest micro-batch that fits decides throughput (blockwise
-    # attention removed the (N,4096,1024) map ceiling): bf16 runs the
-    # whole effective batch as ONE bs256 micro; fp32 needs bs128 x acml2.
-    # FLOPs for the acml>1 split are counted on the unrolled bs64 x acml4
-    # lowering (same effective batch, conv FLOPs linear in batch; the
-    # unrolled bs128 form exceeds HBM); at acml=1 the looped count is
-    # already complete.
-    if _remaining() > 150:
-      with _section("imagenet128"):
-        def _imagenet_cfg(bs, acml):
-            c = Configurations(os.path.join(
-                _REPO, "configs", "ImageNet", "BigGAN2048.yaml"))
-            c.OPTIMIZATION.batch_size = bs
-            c.OPTIMIZATION.acml_steps = acml
-            c.RUN.mixed_precision = mpc
-            c.finalize()
-            return c
-
-        icfg = _imagenet_cfg(256, 1) if mpc else _imagenet_cfg(128, 2)
-        isps, iflops = _bench_cfg_run(
-            icfg, n_steps=8, windows=2, warmup=2,
-            flops_cfg=None if mpc else _imagenet_cfg(64, 4),
-            flops_key=f"imagenet128_eff256_unrolled_mpc{int(mpc)}")
-        eff = icfg.OPTIMIZATION.batch_size * icfg.OPTIMIZATION.acml_steps
-        results["imagenet128_imgs_per_sec_per_chip"] = round(isps * eff, 1)
-        results["imagenet128_model_tflops_per_step"] = round(iflops / 1e12, 3)
-        results["imagenet128_mfu"] = round(
-            iflops * isps / (peak_tflops * 1e12), 4)
-        results["imagenet128_vs_reference_rig"] = round(
-            isps * eff / BASELINE_IMAGENET_IMGS_PER_SEC, 3)
-    else:
-        results["imagenet128_skipped_budget"] = True
-
     # --- CIFAR end-to-end through the input pipeline -----------------------
     # (last: it re-proves the host path is hidden, not a new headline)
-    if _remaining() > 90:
+    if _remaining() > 300:
       with _section("cifar_e2e"):
+        _mark("cifar_e2e: start")
         results["cifar_steps_per_sec_e2e"] = round(_bench_cifar_e2e(cfg), 3)
     else:
         results["cifar_e2e_skipped_budget"] = True

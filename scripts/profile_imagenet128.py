@@ -113,6 +113,39 @@ def main():
         bench_cfg(_cfg(64, 4, mpc=False, attn=False), label="  -attention")
         bench_cfg(_cfg(64, 4, mpc=False, sn=False, attn=False),
                   label="  -SN -attention")
+    if mode == "ablate256":
+        # decompose the headline bs256 bf16 step (57% MFU): each ablation's
+        # delta attributes its cost; at acml=1/du=1 there are no scans, so
+        # cost_analysis flops/bytes are exact
+        print(f"measured HBM copy bandwidth: {_hbm_bandwidth():.0f} GB/s",
+              flush=True)
+        bench_cfg(_cfg(256, 1, mpc=True), label="baseline bs256 acml1 bf16")
+        bench_cfg(_cfg(256, 1, mpc=True, sn=False), label="  -SN")
+        bench_cfg(_cfg(256, 1, mpc=True, attn=False), label="  -attention")
+        bench_cfg(_cfg(256, 1, mpc=True, sn=False, attn=False),
+                  label="  -SN -attention")
+
+
+def _hbm_bandwidth(n=int(512e6 // 4)):
+    """Peak sustained HBM bandwidth via a big fused read+write (triad-ish):
+    2 arrays read + 1 written per iteration."""
+    x = jnp.arange(n, dtype=jnp.float32)
+    y = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def triad(x, y):
+        return x + 1.00001 * y
+
+    z = triad(x, y)
+    float(z[0])
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        z = triad(z, y)
+        float(z[0])
+        dt = time.perf_counter() - t0
+        best = max(best, 3 * 4 * n / dt / 1e9)
+    return best
 
 
 if __name__ == "__main__":
