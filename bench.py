@@ -205,7 +205,11 @@ def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, flops_cfg=None,
     compiled = step.lower(state, imgs, labels).compile()
     flops = _step_flops(compiled)  # fallback: undercounts scan bodies
 
-    if not (time_unrolled and flops_cfg is None):
+    n_micro = (cfg.OPTIMIZATION.d_updates_per_step
+               * cfg.OPTIMIZATION.acml_steps)
+    if n_micro == 1 and not time_unrolled:
+        pass  # no scans in the step: the looped count is already exact
+    elif not (time_unrolled and flops_cfg is None):
         cache = _load_flops_cache()
         if flops_key is not None and flops_key in cache:
             flops = float(cache[flops_key])
@@ -363,15 +367,16 @@ def main():
                 _REPO, "configs", "ImageNet", "BigGAN2048.yaml"))
             c.OPTIMIZATION.batch_size = bs
             c.OPTIMIZATION.acml_steps = acml
-            c.RUN.mixed_precision = mpc
+            c.RUN.mixed_precision = True
             c.finalize()
             return c
 
-        icfg = _imagenet_cfg(256, 1) if mpc else _imagenet_cfg(128, 2)
-        isps, iflops = _bench_cfg_run(
-            icfg, n_steps=8, windows=2, warmup=2,
-            flops_cfg=None if mpc else _imagenet_cfg(64, 4),
-            flops_key=f"imagenet128_eff256_unrolled_mpc{int(mpc)}")
+        # always bench the best-fitting config: bf16 compute policy runs
+        # the whole effective batch as one bs256 micro (no scans -> the
+        # FLOPs count is exact from the timing compile, one compile total)
+        icfg = _imagenet_cfg(256, 1)
+        isps, iflops = _bench_cfg_run(icfg, n_steps=8, windows=2, warmup=2)
+        results["imagenet128_precision"] = "bf16"
         eff = icfg.OPTIMIZATION.batch_size * icfg.OPTIMIZATION.acml_steps
         results["imagenet128_imgs_per_sec_per_chip"] = round(isps * eff, 1)
         results["imagenet128_model_tflops_per_step"] = round(iflops / 1e12, 3)

@@ -24,6 +24,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from functools import partial
 from typing import Any
@@ -329,11 +330,22 @@ class SelfAttention(nn.Module):
     rematerialized chunk body — the keys are already maxpool-reduced, so
     each query row still sees every key and no online-softmax correction
     is needed.  q_chunk: 0 = auto (chunk 512 when tokens >= 4096),
-    -1 = force dense, else the chunk size."""
+    -1 = force dense, else the chunk size.
+
+    On TPU the chunked path upgrades to a fused Pallas kernel
+    (ops/pallas/attention_kernel.py): XLA cannot fuse
+    matmul->softmax->matmul, so even chunk-wise the attention map makes
+    several HBM round-trips — measured at ~30% of the whole BigGAN-128
+    train step for ~2% of its FLOPs.  The kernel keeps each chunk's map
+    in VMEM (exact same math, fwd and bwd).  ``impl``: "auto" (Pallas on
+    TPU-like backends when the chunked path is active and the key row
+    fits VMEM), "pallas", "chunked", or "einsum"; the
+    STUDIOGAN_ATTN_IMPL env var overrides."""
     channels: int
     sn: bool = False
     kernel_init: Callable = nn.initializers.orthogonal()
     q_chunk: int = 0
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -359,7 +371,17 @@ class SelfAttention(nn.Module):
         chunk = self.q_chunk
         if chunk == 0:
             chunk = 512 if h * w >= 4096 else -1
-        if chunk > 0 and h * w > chunk and (h * w) % chunk == 0:
+        impl = os.environ.get("STUDIOGAN_ATTN_IMPL", self.impl)
+        chunked = chunk > 0 and h * w > chunk and (h * w) % chunk == 0
+        use_pallas = chunked and (
+            impl == "pallas"
+            or (impl == "auto" and jax.default_backend() != "cpu"
+                and (h * w) // 4 <= 2048))   # key-row VMEM budget
+        if use_pallas:
+            from studiogan_tpu.ops.pallas.attention_kernel import (
+                fused_pooled_attention)
+            o = fused_pooled_attention(theta, phi, g, chunk)
+        elif chunked:
             th_c = theta.reshape(n, (h * w) // chunk, chunk, c // 8)
             th_c = jnp.moveaxis(th_c, 1, 0)          # (chunks, n, chunk, c/8)
             _, o = jax.lax.scan(

@@ -99,3 +99,58 @@ class TestPallasBiasAct:
             p = bias_act_pallas(x, b, act=act, clamp=3.0)
             np.testing.assert_allclose(np.asarray(r), np.asarray(p),
                                        atol=1e-5)
+
+
+class TestPallasFusedAttention:
+    """Fused SAGAN pooled-key attention (ops/pallas/attention_kernel.py):
+    math parity vs the einsum reference in interpret mode on CPU (the
+    kernel replaces the chunked-scan path on TPU, where it was measured
+    3.6x faster fwd+bwd and +17% on the whole BigGAN-128 step)."""
+
+    def _ref(self, th, ph, g):
+        a = jax.nn.softmax(jnp.einsum("nqc,nkc->nqk", th, ph), axis=-1)
+        return jnp.einsum("nqk,nkc->nqc", a, g)
+
+    def test_interpret_fwd_and_grad_parity(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from studiogan_tpu.ops.pallas.attention_kernel import (
+            fused_pooled_attention)
+
+        rng = np.random.RandomState(0)
+        n, Q, K, dk, dv, chunk = 2, 256, 64, 8, 16, 128
+        th = jnp.asarray(rng.randn(n, Q, dk), jnp.float32)
+        ph = jnp.asarray(rng.randn(n, K, dk), jnp.float32)
+        g = jnp.asarray(rng.randn(n, K, dv), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_pooled_attention(th, ph, g, chunk)
+            np.testing.assert_allclose(np.asarray(out),
+                                       np.asarray(self._ref(th, ph, g)),
+                                       atol=1e-5)
+
+            def loss_k(args):
+                return jnp.sum(jnp.sin(
+                    fused_pooled_attention(*args, chunk)))
+
+            def loss_r(args):
+                return jnp.sum(jnp.sin(self._ref(*args)))
+
+            gk = jax.grad(loss_k)((th, ph, g))
+            gr = jax.grad(loss_r)((th, ph, g))
+            for a, b, name in zip(gk, gr, ("theta", "phi", "g")):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=5e-5, err_msg=name)
+
+    def test_self_attention_module_impl_selection(self):
+        """On CPU the module must keep the scan path ('auto' never picks
+        Pallas off-TPU); forcing impl='chunked' equals dense."""
+        from studiogan_tpu.ops.layers import SelfAttention
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
+        dense = SelfAttention(16, q_chunk=-1)
+        chunked = SelfAttention(16, q_chunk=16, impl="chunked")
+        v = dense.init(jax.random.PRNGKey(0), x)
+        y_d = dense.apply(v, x)
+        y_c = chunked.apply(v, x)
+        np.testing.assert_allclose(np.asarray(y_d), np.asarray(y_c),
+                                   atol=1e-5)
