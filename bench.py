@@ -423,7 +423,7 @@ def main():
 
     # --- CIFAR end-to-end through the input pipeline -----------------------
     # (last: it re-proves the host path is hidden, not a new headline)
-    if _remaining() > 300:
+    if _remaining() > 250:  # ~200s chunked-train_steps compile + timing
       with _section("cifar_e2e"):
         _mark("cifar_e2e: start")
         results["cifar_steps_per_sec_e2e"] = round(_bench_cifar_e2e(cfg), 3)

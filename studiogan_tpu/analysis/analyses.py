@@ -141,11 +141,13 @@ def run_tsne(engine, state, dataset, save_dir: str, run_name: str,
     from sklearn.manifold import TSNE
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    n = min(num_samples, len(dataset))
-    bs = min(engine.O.batch_size, 128)
+    # full fixed-size chunks only: a ragged tail would recompile D + G
+    # for one batch (minutes on a tunneled chip)
+    bs = min(engine.O.batch_size, 128, len(dataset))
+    n = max(bs, min(num_samples, len(dataset)) // bs * bs)
     real_h, real_y, fake_h, fake_y = [], [], [], []
-    for start in range(0, n, bs):
-        idx = range(start, min(start + bs, n))
+    for start in range(0, n - bs + 1, bs):
+        idx = range(start, start + bs)
         imgs = np.stack([dataset[i][0] for i in idx]).astype(np.float32) / 127.5 - 1
         labels = jnp.asarray([dataset[i][1] for i in idx])
         out, _ = engine._d_apply(state.d_params, state.d_state,
@@ -195,15 +197,18 @@ def calculate_intra_class_fid(engine, state, eval_model, dataset,
         real_feats = np.concatenate(feats)
         mu_r, sig_r = fid_mod.compute_moments(real_feats)
 
+        # generate fixed-size batches and trim the surplus: a ragged last
+        # batch would recompile G per distinct size (minutes each on a
+        # tunneled chip, and per-class sizes all differ)
         fake_feats = []
         remaining = len(idx_c)
         while remaining > 0:
             rng, k = jax.random.split(rng)
-            imgs, _ = engine.generate(state, k, min(bs, remaining), y_sampler=c)
+            imgs, _ = engine.generate(state, k, bs, y_sampler=c)
             f, _ = eval_model.get_outputs(np.asarray(jax.device_get(imgs)),
                                           quantize=True)
-            fake_feats.append(f)
-            remaining -= len(f)
+            fake_feats.append(f[:remaining])
+            remaining -= len(f[:remaining])
         mu_f, sig_f = fid_mod.compute_moments(np.concatenate(fake_feats))
         ifids[c] = fid_mod.frechet_inception_distance(mu_r, sig_r, mu_f, sig_f)
     return ifids

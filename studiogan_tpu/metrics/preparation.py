@@ -82,6 +82,7 @@ class LoadEvalModel:
                  device_batch: int = 256):
         self.eval_backbone = eval_backbone
         self.post_resizer = post_resizer
+        self.device_batch = device_batch
         self.res = BACKBONE_RES[eval_backbone]
         self.random_weights = False
 
@@ -182,18 +183,36 @@ class LoadEvalModel:
 
     def get_outputs(self, x: np.ndarray, quantize: bool = False):
         """x: NHWC [-1,1] float (quantize=True) or uint8 (quantize=False).
-        Returns (features, logits) as numpy (reference preparation.py:103-122)."""
+        Returns (features, logits) as numpy (reference preparation.py:103-122).
+
+        Batches are padded up to a power-of-2 bucket (and chunked at
+        device_batch) before the jitted resize+forward: under jit every
+        distinct batch shape is a fresh XLA compile, and callers like
+        kNN/intra-FID sweep ragged per-class tails — on a tunneled TPU
+        each new shape costs minutes of remote compile."""
         if quantize:
             x = resize_mod.quantize_images(x)
         else:
             x = np.asarray(x).astype(np.uint8)
+        n = x.shape[0]
+        if n > self.device_batch:
+            outs = [self.get_outputs(x[s:s + self.device_batch],
+                                     quantize=False)
+                    for s in range(0, n, self.device_batch)]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket != n:
+            x = np.concatenate([x, np.repeat(x[-1:], bucket - n, axis=0)])
         if self.post_resizer == "legacy":
             resized = self.resizer.batch(jnp.asarray(x, jnp.float32))
         else:  # PIL host path — the clean/friendly semantics
             resized = np.stack([self.resizer(im) for im in
                                 x.astype(np.float32)])
         feats, logits = self._forward(jnp.asarray(resized))
-        return np.asarray(feats), np.asarray(logits)
+        return np.asarray(feats)[:n], np.asarray(logits)[:n]
 
 
 class Evaluator:
