@@ -1,0 +1,113 @@
+"""Chip smoke sweep over the GAN-family zoo.
+
+Trains a handful of steps of one representative config per family /
+major code path (reference src/configs/CIFAR10/*.yaml) on the real TPU
+chip with synthetic data, and records steps/s + final losses per family
+to scripts/chip_smoke_zoo.json.  This is the "does the whole zoo
+actually train on TPU" evidence — the CPU test suite already proves
+construction + a step for all 197 configs on the virtual mesh
+(tests/test_config_zoo.py), this proves the compiled TPU path.
+
+Run (quiet machine, single TPU process):
+    PYTHONPATH=/root/repo python scripts/chip_smoke_zoo.py [n_steps]
+
+Each config is a fresh subprocess (fresh XLA client) so one family's
+compile cannot poison another's; a per-config timeout keeps the sweep
+bounded.
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# family -> config (all CIFAR10 so shapes stay small; distinct losses,
+# conditioning modes, regularizers, backbones, aug pipelines)
+FAMILIES = {
+    "DCGAN": "DCGAN.yaml",                    # deep_conv, vanilla BCE
+    "LSGAN": "LSGAN.yaml",                    # least-squares loss
+    "GGAN": "GGAN.yaml",                      # geometric/hinge
+    "WGAN-WC": "WGAN-WC.yaml",                # wasserstein + weight clip
+    "WGAN-GP": "WGAN-GP.yaml",                # + gradient penalty
+    "WGAN-DRA": "WGAN-DRA.yaml",              # + DRAGAN penalty
+    "ACGAN-Mod": "ACGAN-Mod.yaml",            # aux classifier head
+    "ProjGAN": "ProjGAN.yaml",                # projection discriminator
+    "SNGAN": "SNGAN.yaml",                    # spectral norm resnet
+    "SAGAN": "SAGAN.yaml",                    # self-attention
+    "BigGAN": "BigGAN.yaml",                  # big_resnet + cBN
+    "BigGAN-ADA": "BigGAN-ADA.yaml",          # ADA p-controller
+    "BigGAN-Info": "BigGAN-Info.yaml",        # InfoGAN Q-head + partitioned opt
+    "ContraGAN": "ContraGAN.yaml",            # 2C conditional contrastive
+    "ReACGAN-DiffAug": "ReACGAN-DiffAug.yaml",  # D2DCE + DiffAugment
+    "MHGAN": "MHGAN.yaml",                    # multi-hinge
+    "LOGAN": "LOGAN.yaml",                    # latent optimisation
+    "BigGAN-Deep": "BigGAN-Deep.yaml",        # big_resnet_deep legacy skips
+    "BigGAN-Deep-StudioGAN": "BigGAN-Deep-StudioGAN.yaml",  # studiogan deep variant
+    "BigGAN-APA": "BigGAN-APA.yaml",          # APA controller (fake-as-real)
+    "BigGAN-ICR": "BigGAN-ICR.yaml",          # bCR + zCR consistency regs
+    "ACGAN-Mod-ADC": "ACGAN-Mod-ADC.yaml",    # ADC conditioning head
+    "ACGAN-Mod-TAC": "ACGAN-Mod-TAC.yaml",    # twin-aux-classifier head
+    "StyleGAN2-ADA": "StyleGAN2-ADA.yaml",    # stylegan2 + ADA + lazy R1/PL
+    "StyleGAN2-D2DCE-DiffAug": "StyleGAN2-D2DCE-DiffAug.yaml",  # flagship CIFAR workload
+    "StyleGAN3-t-ADA": "StyleGAN3-t-ADA.yaml",  # stylegan3-t
+    "StyleGAN3-r-ADA": "StyleGAN3-r-ADA.yaml",  # stylegan3-r filtered synthesis
+}
+
+
+def run_one(name: str, cfg_rel: str, n_steps: int, out_root: str):
+    import yaml  # local import: only the parent process needs it
+    cfg_path = os.path.join(REPO, "configs", "CIFAR10", cfg_rel)
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg.setdefault("OPTIMIZATION", {})["total_steps"] = n_steps
+    # keep the sweep light: small batch unless the config insists
+    cfg["OPTIMIZATION"].setdefault("batch_size", 64)
+    run_dir = os.path.join(out_root, name)
+    os.makedirs(run_dir, exist_ok=True)
+    short_cfg = os.path.join(run_dir, "cfg.yaml")
+    yaml.safe_dump(cfg, open(short_cfg, "w"))
+
+    cmd = [
+        sys.executable, "-m", "studiogan_tpu.main", "-t",
+        "-cfg", short_cfg, "-save", run_dir, "--synthetic_data",
+        "-metrics", "none", "--print_freq", str(max(1, n_steps // 2)),
+        "--save_freq", str(10 * n_steps),  # no checkpoint churn
+        "--seed", "11",
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    t0 = time.time()
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=1500, env=env, cwd=run_dir)
+        rc = proc.returncode
+        tail = (proc.stdout + proc.stderr).strip().splitlines()[-25:]
+    except subprocess.TimeoutExpired:
+        rc, tail = -9, ["TIMEOUT 1500s"]
+    wall = time.time() - t0
+    # last training log line carries the losses
+    loss_line = next((ln for ln in reversed(tail) if "Gen_loss" in ln), "")
+    return {"rc": rc, "wall_s": round(wall, 1), "last": loss_line.strip(),
+            "tail": tail if rc != 0 else []}
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    out_root = tempfile.mkdtemp(prefix="chip_smoke_zoo_")
+    results = {}
+    for name, cfg in FAMILIES.items():
+        print(f"=== {name} ({cfg}) ===", flush=True)
+        results[name] = run_one(name, cfg, n_steps, out_root)
+        status = "OK" if results[name]["rc"] == 0 else f"FAIL rc={results[name]['rc']}"
+        print(f"    {status} in {results[name]['wall_s']}s  {results[name]['last']}",
+              flush=True)
+        out = os.path.join(REPO, "scripts", "chip_smoke_zoo.json")
+        json.dump(results, open(out, "w"), indent=1)
+    n_ok = sum(r["rc"] == 0 for r in results.values())
+    print(f"\n{n_ok}/{len(results)} families trained on chip; results -> {out}")
+
+
+if __name__ == "__main__":
+    main()

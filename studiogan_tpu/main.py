@@ -409,7 +409,12 @@ def run(argv=None):
         if evaluator is not None and cfg.RUN.intra_class_fid:
             ifids = analysis.calculate_intra_class_fid(
                 eng, state, evaluator.eval_model, train_ds, fig_dir)
-            logger.info("Intra-class FID: %s", json.dumps(
+            # same honest-eval guardrail as Evaluator.evaluate: random
+            # backbone weights make these numbers incomparable
+            tag = ("" if not evaluator.eval_model.random_weights
+                   or os.environ.get("STUDIOGAN_ALLOW_RANDOM_BACKBONE")
+                   else " [RANDOM_BACKBONE — not comparable]")
+            logger.info("Intra-class FID%s: %s", tag, json.dumps(
                 {str(k): round(v, 3) for k, v in ifids.items()}))
         if cfg.RUN.GAN_train or cfg.RUN.GAN_test:
             from studiogan_tpu.analysis.cas import compute_cas
