@@ -96,14 +96,23 @@ def run_one(name: str, cfg_rel: str, n_steps: int, out_root: str):
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     out_root = tempfile.mkdtemp(prefix="chip_smoke_zoo_")
+    out = os.path.join(REPO, "scripts", "chip_smoke_zoo.json")
+    # resume: keep families that already passed (the sweep is hours long;
+    # an interrupted run should not repeat finished work)
     results = {}
+    if os.path.exists(out):
+        prior = json.load(open(out))
+        results = {k: v for k, v in prior.items() if v.get("rc") == 0}
+        if results:
+            print(f"resuming: {sorted(results)} already passed", flush=True)
     for name, cfg in FAMILIES.items():
+        if name in results:
+            continue
         print(f"=== {name} ({cfg}) ===", flush=True)
         results[name] = run_one(name, cfg, n_steps, out_root)
         status = "OK" if results[name]["rc"] == 0 else f"FAIL rc={results[name]['rc']}"
         print(f"    {status} in {results[name]['wall_s']}s  {results[name]['last']}",
               flush=True)
-        out = os.path.join(REPO, "scripts", "chip_smoke_zoo.json")
         json.dump(results, open(out, "w"), indent=1)
     n_ok = sum(r["rc"] == 0 for r in results.values())
     print(f"\n{n_ok}/{len(results)} families trained on chip; results -> {out}")
