@@ -289,6 +289,16 @@ class TestFusedShardedExtraction:
         np.testing.assert_array_equal(l_host, l_dev)
         np.testing.assert_allclose(f_host, f_dev, atol=2e-4)
         np.testing.assert_allclose(p_host, p_dev, atol=2e-5)
+        # the compiled extractor must be built ONCE and reused across
+        # evaluation rounds (re-jitting per round leaked retired
+        # executables and paid a full recompile every eval)
+        cache = em._fused_cache
+        assert len(cache) == 1
+        (prog,) = cache.values()
+        feats_mod.generate_images_and_stack_features(
+            eng, state, em, num_generate=16, batch_size=8, rng=rng, rt=rt)
+        assert len(em._fused_cache) == 1
+        assert next(iter(em._fused_cache.values())) is prog
 
 
 class TestTF13IS:
