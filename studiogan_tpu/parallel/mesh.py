@@ -37,10 +37,16 @@ class Runtime:
     process_count: int
     model_size: int = 1           # size of the 'model' (tensor-parallel) axis
     tp_min_size: int = 65536      # smallest leaf worth sharding over 'model'
+    fsdp: bool = False            # ZeRO: shard opt/EMA leaves over 'data'
+    fsdp_min_size: int = 65536    # smallest leaf worth ZeRO-sharding
 
     @property
     def num_devices(self) -> int:
         return self.mesh.size
+
+    @property
+    def data_size(self) -> int:
+        return self.mesh.shape["data"]
 
     def local_batch(self, global_batch: int) -> int:
         assert global_batch % self.process_count == 0
@@ -66,18 +72,59 @@ class Runtime:
             return P("model", *([None] * (len(shape) - 1)))
         return P()
 
+    # -- ZeRO / FSDP-style optimizer-state sharding -------------------------
+
+    def zero_spec(self, leaf) -> P:
+        """ZeRO rule for optimizer-moment / EMA leaves: on top of the TP
+        spec, shard the largest still-unsharded dimension divisible by the
+        'data' axis.  These leaves are only READ by elementwise updates
+        (Adam moments, EMA lerp), so they stay sharded across the whole
+        step — GSPMD reduce-scatters the incoming gradients and
+        all-gathers the EMA params only where a full copy is consumed
+        (evaluation generation).  Memory: opt+EMA drop ~1/data_size per
+        device, the classic ZeRO-1/3 win (reference is DDP-replicated,
+        torch main.py:175-196 — no equivalent)."""
+        tp = self.param_spec(leaf)
+        shape = getattr(leaf, "shape", ())
+        if (not self.fsdp or self.data_size == 1 or not shape
+                or leaf.size < self.fsdp_min_size):
+            return tp
+        spec = list(tp) + [None] * (len(shape) - len(tp))
+        cands = [i for i, d in enumerate(shape)
+                 if spec[i] is None and d % self.data_size == 0]
+        if not cands:
+            return tp
+        spec[max(cands, key=lambda j: shape[j])] = "data"
+        return P(*spec)
+
+    _ZERO_FIELDS = ("g_opt", "d_opt", "info_opt", "g_ema_params",
+                    "g_ema_state")
+
     def state_sharding(self, state):
-        """NamedSharding tree for a whole TrainState (params, optimizer
-        moments, EMA copies all follow the same per-leaf rule; everything
-        else replicated)."""
-        return jax.tree.map(
+        """NamedSharding tree for a whole TrainState: params follow the TP
+        rule; with ``fsdp`` the optimizer moments and EMA copies are
+        additionally ZeRO-sharded over 'data'; everything else
+        replicated."""
+        tp_map = lambda tree: jax.tree.map(
             lambda leaf: NamedSharding(self.mesh, self.param_spec(leaf)),
-            state)
+            tree)
+        if not self.fsdp or not dataclasses.is_dataclass(state):
+            return tp_map(state)
+        out = {}
+        for f in dataclasses.fields(state):
+            sub = getattr(state, f.name)
+            if f.name in self._ZERO_FIELDS:
+                out[f.name] = jax.tree.map(
+                    lambda leaf: NamedSharding(self.mesh,
+                                               self.zero_spec(leaf)), sub)
+            else:
+                out[f.name] = tp_map(sub)
+        return type(state)(**out)
 
 
 def setup_runtime(total_nodes: int = 1, current_node: int = 0,
                   coordinator: str | None = None,
-                  model_axis: int = 1) -> Runtime:
+                  model_axis: int = 1, fsdp: bool = False) -> Runtime:
     """model_axis > 1 carves a 'model' (tensor-parallel) axis out of the
     device array: mesh (n/model_axis, model_axis) with axes
     ('data', 'model').  The trailing mesh dimension maps to neighboring
@@ -103,6 +150,7 @@ def setup_runtime(total_nodes: int = 1, current_node: int = 0,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
         model_size=model_axis,
+        fsdp=fsdp,
     )
 
 
