@@ -101,6 +101,17 @@ def build_parser() -> ArgumentParser:
                    help="unroll the d_updates/acml micro-batch scans into "
                         "straight-line HLO (XLA schedules across micros; "
                         "longer compiles)")
+    p.add_argument("--model_axis", type=int, default=1,
+                   help="tensor-parallel axis: devices reshape to a "
+                        "('data','model') mesh with model_axis trailing "
+                        "devices; large weights shard weight-stationary "
+                        "over 'model' (beyond the reference's DP-only "
+                        "launcher)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO: shard optimizer moments + EMA copies over "
+                        "the 'data' axis (opt+EMA memory ~1/data_size; "
+                        "math identical — GSPMD inserts the "
+                        "reduce-scatters/all-gathers)")
     return p
 
 
@@ -116,7 +127,9 @@ def run(argv=None):
 
     from studiogan_tpu.parallel import setup_runtime
     from studiogan_tpu.parallel.mesh import put_basket
-    rt = setup_runtime(cfg.RUN.total_nodes, cfg.RUN.current_node)
+    rt = setup_runtime(cfg.RUN.total_nodes, cfg.RUN.current_node,
+                       model_axis=getattr(cfg.RUN, "model_axis", 1),
+                       fsdp=getattr(cfg.RUN, "fsdp", False))
     cfg.finalize(world_size=rt.num_devices)
     cfg.check_compatability()
 
@@ -220,10 +233,14 @@ def run(argv=None):
                                             ref.get("d_missing", []))[:500]
                         if ref.get("g_missing") or ref.get("d_missing") else "")
 
-    state = jax.device_put(state, rt.replicated)
+    # with the default mesh (model_axis=1, no fsdp) every spec is P() ==
+    # fully replicated; --model_axis/--fsdp turn this into the dp x tp x
+    # ZeRO layout (parallel/mesh.py:Runtime.state_sharding)
+    state_sh = rt.state_sharding(state)
+    state = jax.device_put(state, state_sh)
     step_fn = jax.jit(eng.train_step, donate_argnums=0,
-                      in_shardings=(rt.replicated, rt.basket, rt.basket),
-                      out_shardings=(rt.replicated, rt.replicated))
+                      in_shardings=(state_sh, rt.basket, rt.basket),
+                      out_shardings=(state_sh, rt.replicated))
 
     evaluator = None
     if cfg.RUN.eval_metrics and "none" not in cfg.RUN.eval_metrics:
@@ -256,9 +273,9 @@ def run(argv=None):
         chunk = 1 if cfg.RUN.profile else max(1, min(
             cfg.RUN.print_freq, O.total_steps - step0))
         steps_fn = (jax.jit(eng.train_steps, donate_argnums=0,
-                            in_shardings=(rt.replicated, rt.basket_chunk,
+                            in_shardings=(state_sh, rt.basket_chunk,
                                           rt.basket_chunk),
-                            out_shardings=(rt.replicated, rt.replicated))
+                            out_shardings=(state_sh, rt.replicated))
                     if chunk > 1 else None)
         from studiogan_tpu.data.pipeline import DevicePrefetcher
         dev_pf = DevicePrefetcher(loader, rt, chunk)

@@ -110,6 +110,13 @@ OPTIMIZATION:
         state2 = cli.run(argv + ["-ckpt", ckpt_dir])
         assert int(state2.step) == 4
 
+        # the same run under the dp x tp x ZeRO layout (--model_axis 2
+        # --fsdp on the 8-device mesh) must train and land on the same
+        # step count — the sharding knobs are pure layout
+        state3 = cli.run(argv + ["-ckpt", ckpt_dir, "--model_axis", "2",
+                                 "--fsdp"])
+        assert int(state3.step) == 4
+
     def test_stats_jsonl_per_step_rows_and_sn_sigmas(self, tmp_path):
         """Chunked dispatch must log print_freq-many per-step loss rows
         per window (reference worker.py:686 accumulates per step) plus
