@@ -24,8 +24,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# family -> config (all CIFAR10 so shapes stay small; distinct losses,
-# conditioning modes, regularizers, backbones, aug pipelines)
+# family -> config (CIFAR10 so shapes stay small; distinct losses,
+# conditioning modes, regularizers, backbones, aug pipelines), or a
+# (subdir, yaml, batch_size) tuple for high-resolution smoke entries
 FAMILIES = {
     "DCGAN": "DCGAN.yaml",                    # deep_conv, vanilla BCE
     "LSGAN": "LSGAN.yaml",                    # least-squares loss
@@ -54,16 +55,26 @@ FAMILIES = {
     "StyleGAN2-D2DCE-DiffAug": "StyleGAN2-D2DCE-DiffAug.yaml",  # flagship CIFAR workload
     "StyleGAN3-t-ADA": "StyleGAN3-t-ADA.yaml",  # stylegan3-t
     "StyleGAN3-r-ADA": "StyleGAN3-r-ADA.yaml",  # stylegan3-r filtered synthesis
+    # high-resolution paths (small forced batch; proves the 512/1024px
+    # synthesis stacks + per-res bf16 policy compile and train on chip)
+    "StyleGAN2-AFHQ512-ADA": ("AFHQ", "StyleGAN2-SPD-ADA.yaml", 8),
+    "StyleGAN2-FFHQ1024-ADA": ("FFHQ", "StyleGAN2-ADA.yaml", 4),  # uncond
 }
 
 
-def run_one(name: str, cfg_rel: str, n_steps: int, out_root: str):
+def run_one(name: str, cfg_rel, n_steps: int, out_root: str):
     import yaml  # local import: only the parent process needs it
-    cfg_path = os.path.join(REPO, "configs", "CIFAR10", cfg_rel)
+    subdir, batch_force = "CIFAR10", None
+    if isinstance(cfg_rel, tuple):
+        subdir, cfg_rel, batch_force = cfg_rel
+    cfg_path = os.path.join(REPO, "configs", subdir, cfg_rel)
     cfg = yaml.safe_load(open(cfg_path))
     cfg.setdefault("OPTIMIZATION", {})["total_steps"] = n_steps
     # keep the sweep light: small batch unless the config insists
     cfg["OPTIMIZATION"].setdefault("batch_size", 64)
+    if batch_force is not None:
+        cfg["OPTIMIZATION"]["batch_size"] = batch_force
+        cfg["OPTIMIZATION"]["acml_steps"] = 1
     run_dir = os.path.join(out_root, name)
     os.makedirs(run_dir, exist_ok=True)
     short_cfg = os.path.join(run_dir, "cfg.yaml")
@@ -78,14 +89,16 @@ def run_one(name: str, cfg_rel: str, n_steps: int, out_root: str):
     ]
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # high-res synthesis stacks (512/1024px) compile much longer
+    limit = 4500 if batch_force is not None else 2700
     t0 = time.time()
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=1500, env=env, cwd=run_dir)
+                              timeout=limit, env=env, cwd=run_dir)
         rc = proc.returncode
         tail = (proc.stdout + proc.stderr).strip().splitlines()[-25:]
     except subprocess.TimeoutExpired:
-        rc, tail = -9, ["TIMEOUT 1500s"]
+        rc, tail = -9, [f"TIMEOUT {limit}s"]
     wall = time.time() - t0
     # last training log line carries the losses
     loss_line = next((ln for ln in reversed(tail) if "Gen_loss" in ln), "")
