@@ -65,11 +65,18 @@ results: dict = {}
 _emitted = threading.Event()
 
 
-def _emit_json_line():
-    """Print the ONE driver-parsed JSON line from whatever completed."""
+def _emit_json_line(final: bool = True):
+    """Print the driver-parsed JSON line from whatever completed so far.
+
+    Called incrementally after EACH section (round-3 postmortem: the
+    watchdog-only emission meant a kill -9 mid-section left *nothing*
+    on stdout).  Each call prints the full cumulative line; the driver
+    parses the last JSON line, so later emissions strictly add data.
+    """
     if _emitted.is_set():
         return
-    _emitted.set()
+    if final:
+        _emitted.set()
     if "cifar_steps_per_sec" in results:
         head = {
             "metric": "biggan_cifar10_train_steps_per_sec",
@@ -207,12 +214,21 @@ def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, flops_cfg=None,
 
     n_micro = (cfg.OPTIMIZATION.d_updates_per_step
                * cfg.OPTIMIZATION.acml_steps)
-    if n_micro == 1 and not time_unrolled:
-        pass  # no scans in the step: the looped count is already exact
-    elif not (time_unrolled and flops_cfg is None):
+    if (n_micro == 1 and not time_unrolled) or time_unrolled:
+        pass  # the count from the timing compile is already exact:
+        # either there are no scans in the step, or they were unrolled
+    else:
+        # looped timing compile undercounts scan bodies — take the exact
+        # unrolled count from the committed sidecar (round-3 fix: the
+        # sidecar is consulted FIRST, so a cold driver run never pays
+        # the expensive unrolled count-only compile)
         cache = _load_flops_cache()
         if flops_key is not None and flops_key in cache:
             flops = float(cache[flops_key])
+        elif _remaining() < 240:
+            sys.stderr.write(
+                f"bench: skipping unrolled FLOPs count for {flops_key} "
+                "(budget), MFU will be under-counted\n")
         else:
             fcfg = flops_cfg or cfg
             try:
@@ -340,16 +356,26 @@ def main():
             _save_flops_cache(cache)
         results["measured_matmul_peak_tflops"] = round(peak_tflops, 1)
 
+    _emit_json_line(final=False)
+
     # --- CIFAR10-32 BigGAN headline (5 D + 1 G, bs64) ----------------------
+    # Timed with the LOOPED (scan) step: its compile is ~5x cheaper than
+    # the 5-D-update unrolled program and only ~2% slower to run — the
+    # round-3 driver bench lost its whole budget to the unrolled compile.
+    # Exact FLOPs come from the committed sidecar (unrolled count, primed
+    # once on-chip by scripts/prime_bench_flops.py).
     cfg = _biggan_cfg()
     cfg.RUN.mixed_precision = mpc
     with _section("cifar"):
         _mark("cifar: start")
-        sps, flops = _bench_cfg_run(cfg, time_unrolled=True)
+        sps, flops = _bench_cfg_run(
+            cfg, flops_key=f"cifar_biggan_bs64_du5_unrolled_mpc{int(mpc)}")
         _mark("cifar: done")
         results["cifar_steps_per_sec"] = round(sps, 3)
         results["cifar_model_tflops_per_step"] = round(flops / 1e12, 3)
         results["cifar_mfu"] = round(flops * sps / (peak_tflops * 1e12), 4)
+
+    _emit_json_line(final=False)
 
     # --- ImageNet-128 BigGAN (1 D + 1 G, effective batch 256) --------------
     # Largest micro-batch that fits decides throughput (blockwise
@@ -388,6 +414,8 @@ def main():
     else:
         results["imagenet128_skipped_budget"] = True
 
+    _emit_json_line(final=False)
+
     # --- CIFAR10-32 StyleGAN2-D2DCE-DiffAug (2 D + 1 G at bs64, lazy R1
     # every d_reg_interval; 32 timed steps amortize the R1 events)
     if _remaining() > 380:  # ~300s remote compile + timing
@@ -420,6 +448,8 @@ def main():
         _mark("stylegan2: done")
     else:
         results["stylegan2_skipped_budget"] = True
+
+    _emit_json_line(final=False)
 
     # --- CIFAR end-to-end through the input pipeline -----------------------
     # (last: it re-proves the host path is hidden, not a new headline)

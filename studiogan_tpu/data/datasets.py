@@ -80,6 +80,8 @@ class Dataset_:
             with h5py.File(hdf5_path, "r") as f:
                 self._len = len(f["labels"])
                 self.num_classes = int(f["labels"][:].max()) + 1
+                if "classes" in f:   # folder list persisted by hdf5.make_hdf5
+                    self.classes = [c.decode() for c in f["classes"][:]]
                 if load_data_in_memory:
                     self._images = f["imgs"][:]
                     self._labels = f["labels"][:]

@@ -25,6 +25,12 @@ def make_hdf5(dataset, data_name: str, img_size: int, resizer: str,
         imgs = f.create_dataset("imgs", (n, img_size, img_size, 3), dtype="uint8",
                                 chunks=(min(chunk, n), img_size, img_size, 3))
         labels = f.create_dataset("labels", (n,), dtype="int64")
+        # persist the folder(WNID) list so top1/top5 label remapping
+        # (metrics/ins.py eval_features) survives the HDF5 round-trip
+        src_classes = getattr(dataset, "classes", None)
+        if src_classes:
+            f.create_dataset(
+                "classes", data=np.asarray(src_classes, dtype="S"))
         for i in range(n):
             img, lab = dataset[i]
             if img.shape[:2] != (img_size, img_size):

@@ -280,6 +280,21 @@ def run(argv=None):
         from studiogan_tpu.data.pipeline import DevicePrefetcher
         dev_pf = DevicePrefetcher(loader, rt, chunk)
         dev_it = iter(dev_pf)
+        # tail / resume-misaligned chunks run a shorter scan: cache one
+        # jit wrapper per length n (a fresh jax.jit per occurrence would
+        # retrace every time — minutes on the tunneled chip — and omit
+        # donation/shardings, transiently doubling state HBM)
+        _tail_fns: dict = {}
+
+        def tail_steps_fn(n):
+            if n not in _tail_fns:
+                _tail_fns[n] = jax.jit(
+                    eng.train_steps, donate_argnums=0,
+                    in_shardings=(state_sh, rt.basket_chunk,
+                                  rt.basket_chunk),
+                    out_shardings=(state_sh, rt.replicated))
+            return _tail_fns[n]
+
         cur = step0
         while cur < O.total_steps:
             n = min(chunk, O.total_steps - cur)
@@ -299,7 +314,7 @@ def run(argv=None):
                 gi, gl = put_basket(rt, np.stack([b[0] for b in baskets]),
                                     np.stack([b[1] for b in baskets]),
                                     chunked=True)
-                state, metrics = jax.jit(eng.train_steps)(state, gi, gl)
+                state, metrics = tail_steps_fn(n)(state, gi, gl)
             else:
                 gi, gl = (next(dev_it) if chunk == 1
                           else put_basket(rt, *next(it)))

@@ -48,14 +48,28 @@ def _fused_extractor_cached(engine, eval_model, batch_size: int, rt,
                             has_override: bool):
     """One compiled extractor per (engine, mesh, batch, override-shape) —
     re-jitting per evaluation round leaked retired executables and paid a
-    full recompile every eval."""
+    full recompile every eval.
+
+    Entries hold weakrefs matched by referent IDENTITY, not ``id()``
+    keys: a dead engine/runtime whose id is reused by a new object
+    (CPython allocator reuse) must MISS, never silently serve a stale
+    executable closed over the dead object's config.  Dead entries are
+    pruned on each miss; the list stays tiny (one entry per live
+    engine/mesh/batch combination)."""
+    import weakref
+
     cache = getattr(eval_model, "_fused_cache", None)
     if cache is None:
-        cache = eval_model._fused_cache = {}
-    key = (id(engine), id(rt), batch_size, has_override)
-    if key not in cache:
-        cache[key] = make_fused_extractor(engine, eval_model, batch_size, rt)
-    return cache[key]
+        cache = eval_model._fused_cache = []
+    for eng_ref, rt_ref, bs, ov, fn in cache:
+        if (eng_ref() is engine and rt_ref() is rt
+                and bs == batch_size and ov == has_override):
+            return fn
+    cache[:] = [e for e in cache if e[0]() is not None and e[1]() is not None]
+    fn = make_fused_extractor(engine, eval_model, batch_size, rt)
+    cache.append((weakref.ref(engine), weakref.ref(rt),
+                  batch_size, has_override, fn))
+    return fn
 
 
 def generate_images_and_stack_features(engine, state, eval_model,

@@ -42,6 +42,18 @@ def eval_features(probs: np.ndarray, labels: np.ndarray | None, splits: int,
     if is_acc and labels is not None:
         labels = np.asarray(labels)
         subset = data_name in _IMAGENET_SUBSETS
+        if classes is None and (subset or not is_torch_backbone):
+            # a remap is REQUIRED here (reference misc.py:582-595) —
+            # proceeding with raw dataset labels would produce quietly
+            # wrong top1/top5 (e.g. HDF5/in-memory loads that lost the
+            # folder list).  Fail loudly instead.
+            raise ValueError(
+                f"top1/top5 for data_name={data_name!r} with "
+                f"is_torch_backbone={is_torch_backbone} needs the dataset's "
+                "folder list to remap labels into the backbone's class "
+                "space, but `classes` is None (HDF5/in-memory datasets: "
+                "re-pack with a recent studiogan_tpu so the folder list is "
+                "stored, or pass -metrics without is_acc).")
         if classes is not None and (subset or not is_torch_backbone):
             from studiogan_tpu.utils.imagenet_labels import (
                 load_imagenet_folder_label_dict)

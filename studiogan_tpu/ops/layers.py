@@ -338,9 +338,12 @@ class SelfAttention(nn.Module):
     several HBM round-trips — measured at ~30% of the whole BigGAN-128
     train step for ~2% of its FLOPs.  The kernel keeps each chunk's map
     in VMEM (exact same math, fwd and bwd).  ``impl``: "auto" (Pallas on
-    TPU-like backends when the chunked path is active and the key row
-    fits VMEM), "pallas", "chunked", or "einsum"; the
-    STUDIOGAN_ATTN_IMPL env var overrides."""
+    TPU-like backends when running single-device, the chunked path is
+    active, and the key row fits VMEM — under a multi-device mesh 'auto'
+    falls back to the chunked scan, which GSPMD shards fine), "pallas"
+    (expert force, even under a mesh), "chunked", or "einsum" (always
+    the dense einsum, bypassing chunking); the STUDIOGAN_ATTN_IMPL env
+    var overrides."""
     channels: int
     sn: bool = False
     kernel_init: Callable = nn.initializers.orthogonal()
@@ -373,9 +376,23 @@ class SelfAttention(nn.Module):
             chunk = 512 if h * w >= 4096 else -1
         impl = os.environ.get("STUDIOGAN_ATTN_IMPL", self.impl)
         chunked = chunk > 0 and h * w > chunk and (h * w) % chunk == 0
+        if impl == "einsum":
+            chunked = False   # force the dense path, as documented
+        if impl == "pallas" and jax.device_count() > 1:
+            # pallas_call has no GSPMD partitioning rule: under a
+            # multi-device mesh (dp/tp) the SPMD partitioner rejects it
+            # ("side-effect HLO cannot have a replicated sharding") or
+            # would silently replicate — fail loudly at trace time
+            raise ValueError(
+                "SelfAttention impl='pallas' cannot run under a "
+                f"multi-device mesh ({jax.device_count()} devices): "
+                "pallas_call is not GSPMD-partitionable. Use "
+                "impl='chunked' (or 'auto', which picks the kernel only "
+                "single-chip).")
         use_pallas = chunked and (
             impl == "pallas"
             or (impl == "auto" and jax.default_backend() != "cpu"
+                and jax.device_count() == 1
                 and (h * w) // 4 <= 2048))   # key-row VMEM budget
         if use_pallas:
             from studiogan_tpu.ops.pallas.attention_kernel import (

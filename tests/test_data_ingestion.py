@@ -172,3 +172,7 @@ class TestHDF5FromFolder:
         dsm = Dataset_("ImageNet", None, train=True, hdf5_path=path,
                        load_data_in_memory=True)
         np.testing.assert_array_equal(dsm._images[5], src_img)
+        # folder(WNID) list survives the HDF5 round-trip, so top1/top5
+        # label remapping (metrics/ins.py) keeps working (advisor r3)
+        assert ds.classes == src.classes
+        assert dsm.classes == src.classes

@@ -104,6 +104,22 @@ class TestIS:
             classes=classes, is_torch_backbone=False)
         assert top1 == 1.0 and top5 == 1.0
 
+    def test_missing_classes_raises_when_remap_needed(self):
+        """Silently scoring unmapped labels would be quietly wrong
+        (advisor r3): subsets and the TF backbone require the folder
+        list."""
+        import pytest
+        probs = np.full((4, 1008), 1e-3)
+        labels = np.arange(4)
+        with pytest.raises(ValueError, match="folder list"):
+            ins.eval_features(probs, labels, 1, is_acc=True,
+                              data_name="ImageNet", classes=None,
+                              is_torch_backbone=False)
+        with pytest.raises(ValueError, match="folder list"):
+            ins.eval_features(probs[:, :1000], labels, 1, is_acc=True,
+                              data_name="Baby_ImageNet", classes=None,
+                              is_torch_backbone=True)
+
 
 class TestPRDC:
     def test_identical_sets_perfect(self):
@@ -294,11 +310,18 @@ class TestFusedShardedExtraction:
         # executables and paid a full recompile every eval)
         cache = em._fused_cache
         assert len(cache) == 1
-        (prog,) = cache.values()
+        prog = cache[0][-1]
         feats_mod.generate_images_and_stack_features(
             eng, state, em, num_generate=16, batch_size=8, rng=rng, rt=rt)
         assert len(em._fused_cache) == 1
-        assert next(iter(em._fused_cache.values())) is prog
+        assert em._fused_cache[0][-1] is prog
+        # identity, not id(): a NEW engine (even one whose id could
+        # collide after GC) must MISS and get its own executable
+        eng2, state2, _ = run_steps(cfg, 1)
+        feats_mod.generate_images_and_stack_features(
+            eng2, state2, em, num_generate=8, batch_size=8, rng=rng, rt=rt)
+        assert len(em._fused_cache) == 2
+        assert em._fused_cache[1][-1] is not prog
 
 
 class TestTF13IS:

@@ -154,3 +154,52 @@ class TestPallasFusedAttention:
         y_c = chunked.apply(v, x)
         np.testing.assert_allclose(np.asarray(y_d), np.asarray(y_c),
                                    atol=1e-5)
+
+    def test_impl_einsum_bypasses_chunking(self):
+        """impl='einsum' must force the dense path even when the
+        chunking condition holds (advisor round-3: the knob previously
+        still took the chunked-scan branch, mislabeling measurements)."""
+        from studiogan_tpu.ops.layers import SelfAttention
+
+        x = jnp.zeros((2, 8, 8, 16), jnp.float32)
+        mod = SelfAttention(16, q_chunk=16, impl="einsum")
+        v = mod.init(jax.random.PRNGKey(0), x)
+        jaxpr = str(jax.make_jaxpr(lambda x: mod.apply(v, x))(x))
+        assert "scan" not in jaxpr and "pallas_call" not in jaxpr
+
+    def test_auto_gates_pallas_on_device_count(self, monkeypatch):
+        """'auto' picks the Pallas kernel only single-device on a
+        TPU-like backend: pallas_call has no GSPMD partitioning rule, so
+        under a dp/tp mesh it must fall back to the chunked scan
+        (advisor round-3 medium)."""
+        from studiogan_tpu.ops import layers
+        from studiogan_tpu.ops.layers import SelfAttention
+
+        x = jnp.zeros((2, 8, 8, 16), jnp.float32)
+        mod = SelfAttention(16, q_chunk=16, impl="auto")
+        v = mod.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setattr(layers.jax, "default_backend", lambda: "tpu")
+
+        # conftest forces 8 CPU devices -> auto must NOT pick pallas
+        assert jax.device_count() == 8
+        jaxpr = str(jax.make_jaxpr(lambda x: mod.apply(v, x))(x))
+        assert "pallas_call" not in jaxpr and "scan" in jaxpr
+
+        monkeypatch.setattr(layers.jax, "device_count", lambda: 1)
+        jaxpr1 = str(jax.make_jaxpr(lambda x: mod.apply(v, x))(x))
+        assert "pallas_call" in jaxpr1
+
+    def test_forced_pallas_under_mesh_raises(self):
+        """Expert-forced impl='pallas' under a multi-device mesh must
+        raise a clear error at trace time — lowering it is rejected by
+        the SPMD partitioner ("side-effect HLO cannot have a replicated
+        sharding"), verified empirically in interpret mode."""
+        import pytest
+        from studiogan_tpu.ops.layers import SelfAttention
+
+        x = jnp.zeros((8, 8, 8, 16), jnp.float32)
+        forced = SelfAttention(16, q_chunk=16, impl="pallas")
+        v = SelfAttention(16, q_chunk=-1).init(jax.random.PRNGKey(0), x)
+        assert jax.device_count() == 8
+        with pytest.raises(ValueError, match="GSPMD"):
+            forced.apply(v, x)
