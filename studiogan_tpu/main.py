@@ -93,6 +93,11 @@ def build_parser() -> ArgumentParser:
                         "a background thread (the synchronous device->host "
                         "fetch of an ImageNet-scale state costs ~2 min on a "
                         "tunneled chip)")
+    p.add_argument("--export_pth", type=str, default=None, metavar="DIR",
+                   help="write the reference PyTorch-StudioGAN "
+                        "model={G|D|G_ema}-*-weights-step=N.pth triplet "
+                        "from the loaded (-ckpt) or fresh state into DIR "
+                        "and exit (round-trip back to reference tooling)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize G/D activations inside the train step "
                         "(jax.checkpoint): ~1 extra forward per update buys "
@@ -232,6 +237,19 @@ def run(argv=None):
                         "; missing: " + str(ref.get("g_missing", []) +
                                             ref.get("d_missing", []))[:500]
                         if ref.get("g_missing") or ref.get("d_missing") else "")
+
+    if cfg.RUN.export_pth:
+        # write the reference's .pth triplet from the (possibly resumed)
+        # state so reference tooling can consume models trained here
+        # (reference misc.py:394 naming; train/convert.py exporter)
+        from studiogan_tpu.train.convert import save_reference_checkpoint
+        paths = save_reference_checkpoint(
+            jax.device_get(state), cfg, cfg.RUN.export_pth,
+            when="best" if cfg.RUN.load_best else "current",
+            run_name=run_name, best_step=best_step, best_fid=best_fid)
+        for p in paths:
+            logger.info("Exported %s", p)
+        return
 
     # with the default mesh (model_axis=1, no fsdp) every spec is P() ==
     # fully replicated; --model_axis/--fsdp turn this into the dp x tp x

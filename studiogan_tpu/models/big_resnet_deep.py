@@ -86,6 +86,7 @@ class DeepDiscBlock(nn.Module):
     act: Any
     kernel_init: Any
     channel_ratio: int = 4
+    inplace_act: bool = True   # reference acts are inplace except GELU
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -96,8 +97,14 @@ class DeepDiscBlock(nn.Module):
             c, kernel_size=k, stride=1, padding=p, sn=self.sn,
             kernel_init=self.kernel_init, name=name)
 
-        x0 = x
-        h = conv(hidden, 1, 0, "conv1")(self.act(x))
+        # reference gotcha (big_resnet_deep_legacy.py:210-213 /
+        # _studiogan.py:234-235): `x0 = x` aliases the input, which the
+        # inplace activation then mutates — the shortcut actually
+        # receives act(x) (GELU excepted: no inplace variant exists, so
+        # the reference leaves x0 raw there; see config.py:483-492)
+        a = self.act(x)
+        x0 = a if self.inplace_act else x
+        h = conv(hidden, 1, 0, "conv1")(a)
         h = conv(hidden, 3, 1, "conv2")(self.act(h))
         h = conv(hidden, 3, 1, "conv3")(self.act(h))
         if self.variant == "legacy":
@@ -251,6 +258,7 @@ class Discriminator(nn.Module):
                     out_channels=out_dims[i],
                     downsample=down[i] and d_index == 0,
                     variant=self.variant,
+                    inplace_act=self.d_act_fn != "GELU",
                     optblock=self.variant == "studiogan" and i == 0 and d_index == 0,
                     sn=self.apply_d_sn, act=act, kernel_init=init,
                     name=f"block{i}_{d_index}")(h, train=train)

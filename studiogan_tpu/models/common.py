@@ -141,12 +141,17 @@ class DiscOptBlock(nn.Module):
 
 
 class DiscBlock(nn.Module):
-    """Pre-activation D residual block (reference resnet.py:207-256)."""
+    """Pre-activation D residual block (reference resnet.py:207-256).
+
+    ``inplace_act``: the reference builds its activations with
+    inplace=True (config.py:483-492, GELU excepted), which aliases the
+    block input — see the shortcut note in __call__."""
     out_channels: int
     apply_d_sn: bool
     act: Callable
     kernel_init: Callable
     downsample: bool = True
+    inplace_act: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -160,6 +165,12 @@ class DiscBlock(nn.Module):
         if not self.apply_d_sn:
             h = BatchNorm2d(in_channels, name="bn1")(h, train=train)
         h = self.act(h)
+        # reference gotcha (big_resnet.py:221-237 / resnet.py:233-252):
+        # the activation is ReLU(inplace=True) and `x0 = x` aliases the
+        # input tensor, so when apply_d_sn (no bn1 reallocating x) the
+        # shortcut actually receives act(x), NOT the raw input.  Verified
+        # against the torch modules (tests/test_pth_export.py).
+        x0 = h if (self.apply_d_sn and self.inplace_act) else x
         h = conv(self.out_channels, 3, 1, "conv1")(h)
         if not self.apply_d_sn:
             h = BatchNorm2d(self.out_channels, name="bn2")(h, train=train)
@@ -167,8 +178,6 @@ class DiscBlock(nn.Module):
         h = conv(self.out_channels, 3, 1, "conv2")(h)
         if self.downsample:
             h = avg_pool_2x(h)
-
-        x0 = x
         if self.downsample or ch_mismatch:
             if not self.apply_d_sn:
                 x0 = BatchNorm2d(in_channels, name="bn0")(x0, train=train)

@@ -114,6 +114,7 @@ class Discriminator(nn.Module):
             else:
                 h = DiscBlock(out_dims[i], apply_d_sn=self.apply_d_sn, act=act,
                               kernel_init=init, downsample=down[i],
+                              inplace_act=self.d_act_fn != "GELU",
                               name=f"block{i}")(h, train=train)
             if (i + 1) in self.attn_d_loc and self.apply_attn:
                 h = SelfAttention(out_dims[i], sn=self.apply_d_sn,

@@ -102,6 +102,39 @@ class _Mapper:
         if src + ".sigma" in self.sd:
             _put(self.params, (dst_name, "sigma"), self.sd[src + ".sigma"])
 
+    def stem_dense(self, src: str, dst: tuple, channels: int, bottom: int):
+        """The G stem linear (linear0) feeds a reshape whose layout
+        convention DIFFERS between frameworks: torch views the output as
+        (N, C, b, b) (C-major, reference big_resnet.py:133) while our
+        NHWC model reshapes to (N, b, b, C).  The output axis (kernel
+        columns, bias, and the SN ``u`` vector) must be permuted
+        C-major -> HWC-major or the loaded model computes a different
+        function despite identical trees."""
+        p = _stem_perm(channels, bottom)
+        w = self._weight(src, dst)
+        if w is not None:
+            _put(self.params, dst + ("kernel",), w.T[:, p])
+        u_path = dst + ("u",)
+        u = self._node_sn(u_path)
+        if u is not None:
+            _put(self.sn, u_path, np.asarray(u).reshape(-1)[p])
+        if src + ".bias" in self.sd:
+            _put(self.params, dst + ("bias",), self.sd[src + ".bias"][p])
+
+    def _node_sn(self, path: tuple):
+        node = self.sn
+        for k in path:
+            if not isinstance(node, dict) or k not in node:
+                return None
+            node = node[k]
+        return node
+
+    def module_exists(self, src: str, dst: tuple) -> bool:
+        """Presence probe for optional submodules (import side: any
+        torch key under ``src.``)."""
+        prefix = src + "."
+        return any(k.startswith(prefix) for k in self.sd)
+
     def variables(self) -> dict:
         out = {"params": self.params}
         if self.stats:
@@ -109,6 +142,152 @@ class _Mapper:
         if self.sn:
             out["sn"] = self.sn
         return out
+
+
+class _Exporter:
+    """Inverse of :class:`_Mapper`: walks the same mapping (via
+    ``_walk_generator``/``_walk_discriminator``) but READS our flax
+    variable trees and WRITES a torch-style state dict with the
+    reference's exact names + tensor conventions (Dense kernel.T,
+    Conv HWIO->OIHW, SN weight_orig + u/v buffers, BN running stats)."""
+
+    def __init__(self, variables: dict):
+        # values are converted with np.asarray at access time, so the
+        # trees may hold numpy or device arrays (flax FrozenDicts are
+        # unwrapped by the dict() calls in _node's isinstance check)
+        self.params = variables.get("params", {})
+        self.stats = variables.get("batch_stats", {})
+        self.sn_tree = variables.get("sn", {})
+        self.sd: dict = {}
+        self.missing: list[str] = []
+
+    def _node(self, tree, path: tuple):
+        from collections.abc import Mapping
+        for k in path:
+            if not isinstance(tree, Mapping) or k not in tree:
+                return None
+            tree = tree[k]
+        return tree
+
+    def _weight_out(self, src: str, dst: tuple, w: np.ndarray):
+        sn = self._node(self.sn_tree, dst)
+        if sn is not None and "u" in sn:
+            self.sd[src + ".weight_orig"] = w
+            self.sd[src + ".weight_u"] = np.asarray(sn["u"]).reshape(-1)
+            self.sd[src + ".weight_v"] = np.asarray(sn["v"]).reshape(-1)
+        else:
+            self.sd[src + ".weight"] = w
+
+    def dense(self, src: str, dst: tuple, bias: bool = True):
+        node = self._node(self.params, dst)
+        if node is None or "kernel" not in node:
+            self.missing.append(src + ".weight")
+            return
+        self._weight_out(src, dst, np.asarray(node["kernel"]).T)
+        if bias and "bias" in node:
+            self.sd[src + ".bias"] = np.asarray(node["bias"])
+
+    def conv(self, src: str, dst: tuple, bias: bool = True):
+        node = self._node(self.params, dst)
+        if node is None or "kernel" not in node:
+            self.missing.append(src + ".weight")
+            return
+        self._weight_out(
+            src, dst, np.asarray(node["kernel"]).transpose(3, 2, 0, 1))
+        if bias and "bias" in node:
+            self.sd[src + ".bias"] = np.asarray(node["bias"])
+
+    def embedding(self, src: str, dst: tuple):
+        node = self._node(self.params, dst)
+        if node is None or "embedding" not in node:
+            self.missing.append(src + ".weight")
+            return
+        self._weight_out(src, dst, np.asarray(node["embedding"]))
+
+    def bn(self, src: str, dst: tuple, affine: bool):
+        if affine:
+            node = self._node(self.params, dst)
+            if node is not None:
+                self.sd[src + ".weight"] = np.asarray(node["scale"])
+                self.sd[src + ".bias"] = np.asarray(node["bias"])
+        st = self._node(self.stats, dst)
+        if st is None:
+            self.missing.append(src + ".running_mean")
+            return
+        self.sd[src + ".running_mean"] = np.asarray(st["mean"])
+        self.sd[src + ".running_var"] = np.asarray(st["var"])
+        self.sd[src + ".num_batches_tracked"] = np.asarray(
+            st.get("n", 0.0)).astype(np.int64).reshape(())
+
+    def cbn(self, src: str, dst: tuple):
+        self.dense(src + ".gain", dst + ("gain",), bias=False)
+        self.dense(src + ".bias", dst + ("bias",), bias=False)
+        self.bn(src + ".bn", dst + ("bn",), affine=False)
+
+    def attention(self, src: str, dst_name: str):
+        for t_name, o_name in (("conv1x1_theta", "theta"), ("conv1x1_phi", "phi"),
+                               ("conv1x1_g", "g"), ("conv1x1_attn", "attn_out")):
+            self.conv(f"{src}.{t_name}", (dst_name, o_name), bias=False)
+        node = self._node(self.params, (dst_name,))
+        if node is not None and "sigma" in node:
+            self.sd[src + ".sigma"] = np.asarray(node["sigma"])
+
+    def stem_dense(self, src: str, dst: tuple, channels: int, bottom: int):
+        """Inverse of _Mapper.stem_dense: permute the G stem linear's
+        output axis HWC-major -> C-major for torch's view(N, C, b, b)."""
+        node = self._node(self.params, dst)
+        if node is None or "kernel" not in node:
+            self.missing.append(src + ".weight")
+            return
+        p = _stem_perm(channels, bottom)
+        kernel = np.asarray(node["kernel"])
+        wT = np.empty_like(kernel)
+        wT[:, p] = kernel
+        sn = self._node(self.sn_tree, dst)
+        if sn is not None and "u" in sn:
+            self.sd[src + ".weight_orig"] = wT.T
+            u = np.asarray(sn["u"]).reshape(-1)
+            ut = np.empty_like(u)
+            ut[p] = u
+            self.sd[src + ".weight_u"] = ut
+            self.sd[src + ".weight_v"] = np.asarray(sn["v"]).reshape(-1)
+        else:
+            self.sd[src + ".weight"] = wT.T
+        if "bias" in node:
+            bias = np.asarray(node["bias"])
+            bt = np.empty_like(bias)
+            bt[p] = bias
+            self.sd[src + ".bias"] = bt
+
+    def module_exists(self, src: str, dst: tuple) -> bool:
+        """Presence probe (export side: the flax params subtree)."""
+        return self._node(self.params, dst) is not None
+
+
+def export_generator(variables: dict, cfg) -> tuple[dict, list[str]]:
+    """Our Generator flax variables -> reference-named torch state dict
+    (numpy values; exact inverse of :func:`convert_generator`)."""
+    m = _Exporter(variables)
+    _walk_generator(m, cfg)
+    return m.sd, m.missing
+
+
+def export_discriminator(variables: dict, cfg) -> tuple[dict, list[str]]:
+    """Our Discriminator flax variables -> reference-named torch state
+    dict (exact inverse of :func:`convert_discriminator`)."""
+    m = _Exporter(variables)
+    _walk_discriminator(m, cfg)
+    return m.sd, m.missing
+
+
+def _stem_perm(channels: int, bottom: int) -> np.ndarray:
+    """Index permutation p with p[o_ours] = o_torch for the G stem
+    linear's output axis: ours enumerates (y, x, c) (NHWC reshape),
+    torch enumerates (c, y, x) (view(N, C, b, b))."""
+    return np.transpose(
+        np.arange(channels * bottom * bottom).reshape(channels, bottom,
+                                                      bottom),
+        (1, 2, 0)).reshape(-1)
 
 
 def _block_layout(num_blocks: int, attn_locs) -> list[tuple[str, int]]:
@@ -125,14 +304,23 @@ def _block_layout(num_blocks: int, attn_locs) -> list[tuple[str, int]]:
 
 def convert_generator(sd: dict, cfg) -> tuple[dict, list[str]]:
     """Reference big_resnet/resnet Generator state dict -> flax variables."""
-    from studiogan_tpu.models.common import g_dims
     m = _Mapper(sd)
+    _walk_generator(m, cfg)
+    return m.variables(), m.missing
+
+
+def _walk_generator(m, cfg) -> None:
+    """The torch-name <-> flax-path mapping walk for the resnet-family
+    Generator (reference big_resnet.py:104-117 module structure).
+    Direction-agnostic: driven by an import _Mapper or an export
+    _Exporter (same method protocol)."""
+    from studiogan_tpu.models.common import g_dims
     M = cfg.MODEL
-    _, out_dims = g_dims(cfg.DATA.img_size, M.g_conv_dim)
+    in_dims, out_dims = g_dims(cfg.DATA.img_size, M.g_conv_dim)
     attn_locs = tuple(a for a in M.attn_g_loc if a != NA) if M.apply_attn else ()
     layout = _block_layout(len(out_dims), attn_locs)
 
-    m.dense("linear0", ("linear0",))
+    m.stem_dense("linear0", ("linear0",), channels=in_dims[0], bottom=4)
     if M.g_cond_mtd != "W/O" and M.backbone == "big_resnet":
         m.embedding("shared", ("shared",))
     conditional = (M.backbone == "big_resnet" or M.g_cond_mtd == "cBN"
@@ -153,13 +341,19 @@ def convert_generator(sd: dict, cfg) -> tuple[dict, list[str]]:
             m.conv(f"{src}.{c_src}", (dst, c_dst))
     m.bn("bn4", ("bn4",), affine=True)
     m.conv("conv2d5", ("conv5",))
-    return m.variables(), m.missing
 
 
 def convert_discriminator(sd: dict, cfg) -> tuple[dict, list[str]]:
     """Reference big_resnet/resnet Discriminator state dict -> flax vars."""
-    from studiogan_tpu.models.common import d_dims
     m = _Mapper(sd)
+    _walk_discriminator(m, cfg)
+    return m.variables(), m.missing
+
+
+def _walk_discriminator(m, cfg) -> None:
+    """Direction-agnostic mapping walk for the resnet-family
+    Discriminator (reference resnet.py:207-230 / big_resnet.py)."""
+    from studiogan_tpu.models.common import d_dims
     M = cfg.MODEL
     in_dims, out_dims, down = d_dims(cfg.DATA.img_size, M.d_conv_dim)
     attn_locs = tuple(a for a in M.attn_d_loc if a != NA) if M.apply_attn else ()
@@ -174,14 +368,14 @@ def convert_discriminator(sd: dict, cfg) -> tuple[dict, list[str]]:
         # conv2d1/conv2d2 always exist; conv2d0 exists iff first block or
         # downsample/ch_mismatch (reference resnet.py:207-230)
         has_conv0 = (i == 0 or down[i] or in_dims[i] != out_dims[i]
-                     or any(k.startswith(f"{src}.conv2d0.") for k in m.sd))
+                     or m.module_exists(f"{src}.conv2d0", (dst, "conv0")))
         if has_conv0:
             m.conv(f"{src}.conv2d0", (dst, "conv0"))
         m.conv(f"{src}.conv2d1", (dst, "conv1"))
         m.conv(f"{src}.conv2d2", (dst, "conv2"))
         if not M.apply_d_sn:
             for bn_name in ("bn0", "bn1", "bn2"):
-                if any(k.startswith(f"{src}.{bn_name}.") for k in m.sd):
+                if m.module_exists(f"{src}.{bn_name}", (dst, bn_name)):
                     m.bn(f"{src}.{bn_name}", (dst, bn_name), affine=True)
 
     m.dense("linear1", ("head", "linear1"))
@@ -199,9 +393,8 @@ def convert_discriminator(sd: dict, cfg) -> tuple[dict, list[str]]:
             m.embedding("embedding_mi", ("head", "embedding_mi"))
     for q in ("info_discrete_linear", "info_conti_mu_linear",
               "info_conti_var_linear"):
-        if any(k.startswith(q + ".") for k in m.sd):
+        if m.module_exists(q, ("head", q)):
             m.dense(q, ("head", q), bias=False)
-    return m.variables(), m.missing
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +625,115 @@ def convert_stylegan3_generator(sd: dict, cfg, channel_base=None,
         if me is not None:
             _put(m.stats_ema, dst + ("magnitude_ema",), me)
     return m.variables(), m.missing
+
+
+_BUFFER_SUFFIXES = (".weight_u", ".weight_v", ".running_mean",
+                    ".running_var", ".num_batches_tracked")
+
+
+def _torch_adam_skeleton(sd: dict, lr: float, betas, weight_decay: float,
+                         eps: float) -> dict:
+    """A torch.optim.Adam ``state_dict()`` the reference can
+    ``load_state_dict``: correct param-group structure/count with empty
+    per-param state (moments re-initialize lazily on the first torch
+    step, exactly like the reference's own weights-only resume path,
+    ckpt.py:88-103)."""
+    n_params = sum(1 for k in sd if not k.endswith(_BUFFER_SUFFIXES))
+    return {
+        "state": {},
+        "param_groups": [{
+            "lr": lr, "betas": tuple(betas), "eps": eps,
+            "weight_decay": weight_decay, "amsgrad": False,
+            "maximize": False, "foreach": None, "capturable": False,
+            "differentiable": False, "fused": None,
+            "params": list(range(n_params)),
+        }],
+    }
+
+
+def save_reference_checkpoint(state, cfg, ckpt_dir: str,
+                              when: str = "current",
+                              run_name: str = "studiogan_tpu_export",
+                              epoch: int = 0, best_step: int = 0,
+                              best_fid=None) -> list[str]:
+    """Write the reference's ``model={G|D|G_ema}-{when}-weights-step={n}.pth``
+    triplet (reference src/utils/misc.py:394 naming, worker.py:940-983
+    payload) from a :class:`GANTrainState`, loadable by the reference's
+    ``load_StudioGAN_ckpts`` (ckpt.py:77-134).  Inverse of
+    :func:`load_reference_checkpoint` for the resnet-family backbones.
+
+    The D file carries the reference's run-metadata dict (seed, step,
+    topk, aa_p, best_fid, lecam_emas...).  Optimizer entries are valid
+    empty-state Adam skeletons — moments live in optax's layout and
+    re-initialize torch-side on first step.  Returns the written paths."""
+    import os
+
+    import torch
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    step = int(np.asarray(state.step))
+    O, L = cfg.OPTIMIZATION, cfg.LOSS
+
+    def _to_torch(sd: dict) -> dict:
+        return {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}
+
+    g_sd, g_missing = export_generator(
+        {"params": state.g_params, **(state.g_state or {})}, cfg)
+    d_sd, d_missing = export_discriminator(
+        {"params": state.d_params, **(state.d_state or {})}, cfg)
+    if g_missing or d_missing:
+        raise ValueError(
+            f"export incomplete: G missing {g_missing}, D missing "
+            f"{d_missing} — backbone {cfg.MODEL.backbone!r} not coverable "
+            "by the resnet-family exporter?")
+
+    # the reference always saves its LeCamEMA.__dict__ (init 7777,
+    # ops.py:106-116) even when LeCam is unused
+    if state.lecam is not None:
+        lecam_emas = {k: float(np.asarray(v)) for k, v in state.lecam.items()}
+    else:
+        lecam_emas = {k: 7777.0 for k in ("G_loss", "D_loss_real",
+                                          "D_loss_fake", "D_real", "D_fake")}
+    lecam_emas["decay"] = L.lecam_ema_decay
+    lecam_emas["start_itr"] = L.lecam_ema_start_iter
+
+    g_states = {
+        "state_dict": _to_torch(g_sd),
+        "optimizer": _torch_adam_skeleton(
+            g_sd, O.g_lr, (O.beta1, O.beta2), O.g_weight_decay, 1e-6),
+    }
+    d_states = {
+        "state_dict": _to_torch(d_sd),
+        "optimizer": _torch_adam_skeleton(
+            d_sd, O.d_lr, (O.beta1, O.beta2), O.d_weight_decay, 1e-6),
+        "seed": cfg.RUN.seed,
+        "run_name": run_name,
+        "step": step,
+        "epoch": epoch,
+        "topk": float(np.asarray(state.topk)),
+        "aa_p": float(np.asarray(state.ada_p)),
+        "best_step": best_step,
+        "best_fid": best_fid,
+        "best_fid_ckpt": ckpt_dir,
+        "lecam_emas": lecam_emas,
+    }
+
+    paths = []
+    triplet = [("G", g_states)]
+    if state.g_ema_params is not None:
+        ema_sd, ema_missing = export_generator(
+            {"params": state.g_ema_params, **(state.g_ema_state or {})}, cfg)
+        if ema_missing:
+            raise ValueError(f"G_ema export incomplete: {ema_missing}")
+        triplet.append(("G_ema", {"state_dict": _to_torch(ema_sd)}))
+    triplet.append(("D", d_states))
+    for tag, states in triplet:
+        path = os.path.join(
+            ckpt_dir, f"model={tag}-{when}-weights-step={step}.pth")
+        torch.save(states, path)
+        paths.append(path)
+    return paths
 
 
 def load_reference_checkpoint(ckpt_dir: str, cfg, load_best: bool = False):

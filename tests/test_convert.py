@@ -64,7 +64,26 @@ def _synth_torch_sd_from_g(variables, cfg):
         sd[dst_src + ".running_var"] = np.asarray(tree["var"])
         sd[dst_src + ".num_batches_tracked"] = np.asarray(tree["n"])
 
-    dense("linear0", params["linear0"], sn["linear0"])
+    # the reference views linear0's output as (N, C, 4, 4) while our
+    # NHWC model reshapes to (N, 4, 4, C): the torch-side output axis is
+    # the C-major permutation of ours (see convert._stem_perm)
+    from studiogan_tpu.models.common import g_dims
+    from studiogan_tpu.train.convert import _stem_perm
+    in_dims, _ = g_dims(cfg.DATA.img_size, cfg.MODEL.g_conv_dim)
+    p = _stem_perm(in_dims[0], 4)
+    k = np.asarray(params["linear0"]["kernel"])
+    wT = np.empty_like(k)
+    wT[:, p] = k
+    sd["linear0.weight_orig"] = wT.T
+    u = np.asarray(sn["linear0"]["u"]).reshape(-1)
+    ut = np.empty_like(u)
+    ut[p] = u
+    sd["linear0.weight_u"] = ut
+    sd["linear0.weight_v"] = np.asarray(sn["linear0"]["v"]).reshape(-1)
+    b = np.asarray(params["linear0"]["bias"])
+    bt = np.empty_like(b)
+    bt[p] = b
+    sd["linear0.bias"] = bt
     sd["shared.weight"] = np.asarray(params["shared"]["embedding"])
     # layout: block0, block1, attn1, block2 (attn_g_loc=[2])
     layout = [("block", 0, 0), ("block", 1, 1), ("attn", 1, 2), ("block", 2, 3)]
