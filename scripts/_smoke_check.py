@@ -1,0 +1,88 @@
+"""Post-hoc pass/fail checks for one chip-smoke run (CPU subprocess).
+
+Reads the run dir a chip_smoke_zoo.py child produced and verifies, on
+CPU (scrubbed env — never touches the chip):
+
+  * every logged loss is finite and within a sane range (|x| < 1e4);
+  * the saved final checkpoint's G/D params MOVED from the seed's
+    fresh initialization (non-zero max |delta|) — rc==0 alone would
+    pass a run whose optimizer never applied an update.
+
+Prints one JSON line; exit 0 iff all checks pass.
+Usage: python scripts/_smoke_check.py <run_dir> <cfg.yaml> <seed>
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    run_dir, cfg_path, seed = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    out = {"losses_finite": False, "losses_sane": False,
+           "params_moved": False}
+
+    stats_files = glob.glob(os.path.join(run_dir, "statistics", "*",
+                                         "train_stats.jsonl"))
+    rows = []
+    for f in stats_files:
+        with open(f) as fh:
+            rows += [r for r in (json.loads(ln) for ln in fh if ln.strip())
+                     if "d_loss" in r and "g_loss" in r]  # skip SN-sigma rows
+    losses = np.asarray([[r["d_loss"], r["g_loss"]] for r in rows],
+                        np.float64)
+    out["n_logged_steps"] = len(rows)
+    if len(rows):
+        out["losses_finite"] = bool(np.isfinite(losses).all())
+        out["losses_sane"] = bool(out["losses_finite"]
+                                  and np.abs(losses).max() < 1e4)
+        out["d_loss_last"] = float(losses[-1, 0])
+        out["g_loss_last"] = float(losses[-1, 1])
+
+    ckpts = sorted(glob.glob(os.path.join(
+        run_dir, "checkpoints", "*", "model=current-weights-step=*")))
+    ckpts = [c for c in ckpts if not c.endswith(".meta.json")]
+    if ckpts:
+        from studiogan_tpu.config import Configurations
+        from studiogan_tpu.models import build_discriminator, build_generator
+        from studiogan_tpu.train import TrainEngine
+        from studiogan_tpu.train.ckpt import load_ckpt
+
+        cfg = Configurations(cfg_path)
+        cfg.RUN.seed = seed
+        cfg.finalize()
+        G, D = build_generator(cfg), build_discriminator(cfg)
+        eng = TrainEngine(cfg, G, D)
+        init_state = jax.device_get(eng.init_state(jax.random.PRNGKey(seed)))
+        state, _ = load_ckpt(ckpts[-1], init_state)
+        deltas = {}
+        for tag, a, b in (("g", init_state.g_params, state.g_params),
+                          ("d", init_state.d_params, state.d_params)):
+            d = max(float(np.abs(np.asarray(x) - np.asarray(y)).max())
+                    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+            deltas[tag] = d
+        out["param_delta"] = deltas
+        out["params_moved"] = all(v > 0 for v in deltas.values())
+        out["ckpt_step"] = int(np.asarray(state.step))
+    else:
+        out["error"] = "no checkpoint found"
+
+    ok = out["losses_finite"] and out["losses_sane"] and out["params_moved"]
+    out["ok"] = ok
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,7 @@ def run_one(name: str, cfg_rel, n_steps: int, out_root: str):
         sys.executable, "-m", "studiogan_tpu.main", "-t",
         "-cfg", short_cfg, "-save", run_dir, "--synthetic_data",
         "-metrics", "none", "--print_freq", str(max(1, n_steps // 2)),
-        "--save_freq", str(10 * n_steps),  # no checkpoint churn
+        "--save_freq", str(n_steps),  # exactly one final checkpoint
         "--seed", "11",
     ]
     env = dict(os.environ)
@@ -92,18 +92,77 @@ def run_one(name: str, cfg_rel, n_steps: int, out_root: str):
     # high-res synthesis stacks (512/1024px) compile much longer
     limit = 4500 if batch_force is not None else 2700
     t0 = time.time()
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=limit, env=env, cwd=run_dir)
-        rc = proc.returncode
-        tail = (proc.stdout + proc.stderr).strip().splitlines()[-25:]
-    except subprocess.TimeoutExpired:
-        rc, tail = -9, [f"TIMEOUT {limit}s"]
+    # stream the child's output to a file: a timeout kill must still
+    # leave the log behind (round-3 postmortem: -9 with an empty tail
+    # hid WHERE the child hung)
+    log_path = os.path.join(run_dir, "child.log")
+    with open(log_path, "w") as log_f:
+        proc = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT,
+                                text=True, env=env, cwd=run_dir)
+        try:
+            rc = proc.wait(timeout=limit)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            rc = -9
     wall = time.time() - t0
+    lines = open(log_path, errors="replace").read().strip().splitlines()
+    tail = lines[-25:]
+    if rc == -9:
+        tail = [f"TIMEOUT {limit}s"] + tail
     # last training log line carries the losses
     loss_line = next((ln for ln in reversed(tail) if "Gen_loss" in ln), "")
-    return {"rc": rc, "wall_s": round(wall, 1), "last": loss_line.strip(),
-            "tail": tail if rc != 0 else []}
+    res = {"rc": rc, "wall_s": round(wall, 1), "last": loss_line.strip(),
+           "compile_s": _compile_seconds(lines),
+           "tail": tail if rc != 0 else []}
+    if rc == 0:
+        res.update(_verify(run_dir, short_cfg))
+    else:
+        res["ok"] = False
+    return res
+
+
+def _compile_seconds(lines) -> float | None:
+    """Seconds from 'Start training' to the first Step log line — the
+    XLA compile wall time of the train-step program (verdict item 8:
+    record per-family compile times)."""
+    import datetime
+
+    def ts(ln):
+        try:
+            return datetime.datetime.strptime(
+                ln.split("]")[0].split(None, 1)[1].strip(),
+                "%Y-%m-%d %H:%M:%S").timestamp()
+        except Exception:
+            return None
+
+    t_start = next((ts(ln) for ln in lines if "Start training" in ln), None)
+    t_step = next((ts(ln) for ln in lines if "Gen_loss" in ln), None)
+    if t_start is None or t_step is None:
+        return None
+    return round(t_step - t_start, 1)
+
+
+def _verify(run_dir: str, cfg_path: str) -> dict:
+    """rc==0 alone is NOT a pass (round-3 verdict: it would accept
+    NaN-free garbage or a frozen optimizer).  Run the CPU-side checks
+    (finite + sane losses, non-zero param movement vs the seed's fresh
+    init) in a scrubbed subprocess that cannot touch the chip."""
+    env = {k: v for k, v in os.environ.items()
+           if not (k.startswith("PALLAS_AXON") or k.startswith("AXON")
+                   or k == "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "_smoke_check.py"),
+             run_dir, cfg_path, "11"],
+            capture_output=True, text=True, timeout=900, env=env)
+        line = proc.stdout.strip().splitlines()[-1]
+        checks = json.loads(line)
+    except Exception as e:  # noqa: BLE001 - record, don't crash the sweep
+        return {"ok": False, "check_error": f"{type(e).__name__}: {e}"}
+    return {"ok": checks.pop("ok", False), "checks": checks}
 
 
 def main():
@@ -115,7 +174,8 @@ def main():
     results = {}
     if os.path.exists(out):
         prior = json.load(open(out))
-        results = {k: v for k, v in prior.items() if v.get("rc") == 0}
+        # resume only past FULL passes (rc 0 + verified checks)
+        results = {k: v for k, v in prior.items() if v.get("ok") is True}
         if results:
             print(f"resuming: {sorted(results)} already passed", flush=True)
     for name, cfg in FAMILIES.items():
@@ -123,12 +183,15 @@ def main():
             continue
         print(f"=== {name} ({cfg}) ===", flush=True)
         results[name] = run_one(name, cfg, n_steps, out_root)
-        status = "OK" if results[name]["rc"] == 0 else f"FAIL rc={results[name]['rc']}"
-        print(f"    {status} in {results[name]['wall_s']}s  {results[name]['last']}",
-              flush=True)
+        r = results[name]
+        status = ("OK" if r.get("ok") else
+                  f"FAIL rc={r['rc']} checks={r.get('checks', {})}")
+        print(f"    {status} in {r['wall_s']}s (compile {r.get('compile_s')}s)"
+              f"  {r['last']}", flush=True)
         json.dump(results, open(out, "w"), indent=1)
-    n_ok = sum(r["rc"] == 0 for r in results.values())
-    print(f"\n{n_ok}/{len(results)} families trained on chip; results -> {out}")
+    n_ok = sum(bool(r.get("ok")) for r in results.values())
+    print(f"\n{n_ok}/{len(results)} families trained+verified on chip; "
+          f"results -> {out}")
 
 
 if __name__ == "__main__":

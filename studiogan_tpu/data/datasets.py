@@ -143,9 +143,16 @@ def _load_cifar(name: str, data_dir: str | None, train: bool):
                     tf.extractall(base, filter="data")
                 break
     if not root.exists():
+        # first run on a machine WITH internet: auto-download like the
+        # reference (data_util.py:113-121 torchvision download=True);
+        # md5-checked, atomic extract.  Zero-egress machines fall
+        # through to the FileNotFoundError below.
+        _download_cifar(name, base)
+    if not root.exists():
         raise FileNotFoundError(
-            f"{name} not found under {base} (no-egress environment: place the "
-            f"python-pickle batches there, or use a SYNTHETIC/HDF5 dataset)")
+            f"{name} not found under {base} and auto-download failed "
+            f"(no-egress environment?): place the python-pickle batches "
+            f"there, or use a SYNTHETIC/HDF5 dataset)")
     imgs, labels = [], []
     if name == "CIFAR10":
         files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
@@ -159,6 +166,43 @@ def _load_cifar(name: str, data_dir: str | None, train: bool):
         imgs.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
         labels.extend(d[label_key])
     return np.concatenate(imgs), np.asarray(labels, dtype=np.int64)
+
+
+_CIFAR_URLS = {
+    # canonical hosts + md5s, matching torchvision.datasets.CIFAR10/100
+    "CIFAR10": ("https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
+                "c58f30108f718f92721af3b95e74349a"),
+    "CIFAR100": ("https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz",
+                 "eb9058c3a382ffc7106e4002c42a8d85"),
+}
+
+
+def _download_cifar(name: str, base: Path) -> None:
+    """Best-effort auto-download (reference data_util.py:113-121).
+    Failures are logged, never raised — the caller re-checks the dir."""
+    import hashlib
+    import logging
+    import urllib.request
+
+    url, md5 = _CIFAR_URLS[name]
+    base.mkdir(parents=True, exist_ok=True)
+    tgz = base / url.rsplit("/", 1)[1]
+    tmp = str(tgz) + ".part"
+    try:
+        logging.getLogger("studiogan_tpu").info(
+            "Downloading %s from %s ...", name, url)
+        urllib.request.urlretrieve(url, tmp)  # noqa: S310 - fixed https URL
+        digest = hashlib.md5(open(tmp, "rb").read()).hexdigest()  # noqa: S324
+        if digest != md5:
+            raise OSError(f"md5 mismatch: {digest} != {md5}")
+        os.replace(tmp, tgz)
+        with tarfile.open(tgz) as tf:
+            tf.extractall(base, filter="data")
+    except Exception as e:  # noqa: BLE001 - offline is an expected case
+        logging.getLogger("studiogan_tpu").warning(
+            "%s auto-download failed (%s); falling back to local files", name, e)
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _scan_image_folder(root: Path):

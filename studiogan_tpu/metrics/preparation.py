@@ -87,6 +87,7 @@ class LoadEvalModel:
         self.random_weights = False
 
         model, variables = self._build_backbone(eval_backbone)
+        self.variables = variables   # exposed for converter verification
         mean = jnp.asarray(self.mean)
         std = jnp.asarray(self.std)
 
@@ -100,6 +101,17 @@ class LoadEvalModel:
         self.resizer = resize_mod.build_resizer(post_resizer, eval_backbone,
                                                 self.res)
 
+        # loaded-weights manifest: one explicit line per evaluator so a
+        # partially-populated weights drop can never silently mix a real
+        # backbone with a random one inside one run (round-3 verdict)
+        import logging
+        logging.getLogger("studiogan_tpu").info(
+            "eval-backbone manifest: %s = %s, resizer=%s",
+            eval_backbone,
+            "RANDOM (metric values NOT comparable)" if self.random_weights
+            else f"REAL({getattr(self, 'weights_path', None)})",
+            post_resizer)
+
     def _build_backbone(self, eval_backbone: str):
         """Resolve (flax module, converted-or-random variables) for each of
         the reference's 6 eval backbones (reference preparation.py:43-88)."""
@@ -109,7 +121,7 @@ class LoadEvalModel:
             self.mean = np.array([0.5, 0.5, 0.5], np.float32)
             self.std = np.array([0.5, 0.5, 0.5], np.float32)
             model = InceptionV3()
-            path = _find_weights(_INCEPTION_FILES)
+            path = self.weights_path = _find_weights(_INCEPTION_FILES)
             if path:
                 return model, load_weights(path)
             return model, self._random_init(model, "pt_inception")
@@ -123,21 +135,24 @@ class LoadEvalModel:
             # torchvision pretrained inception_v3 sets transform_input=True
             model = InceptionV3(num_classes=1000, variant="torchvision",
                                 transform_input=True)
-            path = _find_weights(_WEIGHT_FILES[eval_backbone])
+            path = self.weights_path = _find_weights(
+                _WEIGHT_FILES[eval_backbone])
             if path:
                 return model, load_torch_state_dict(_torch_load_numpy(path))
         elif eval_backbone == "ResNet50_torch":
             from studiogan_tpu.metrics.backbones import (ResNet50,
                                                          convert_resnet50_torch)
             model = ResNet50()
-            path = _find_weights(_WEIGHT_FILES[eval_backbone])
+            path = self.weights_path = _find_weights(
+                _WEIGHT_FILES[eval_backbone])
             if path:
                 return model, convert_resnet50_torch(_torch_load_numpy(path))
         elif eval_backbone == "SwAV_torch":
             from studiogan_tpu.metrics.backbones import (ResNet50,
                                                          convert_swav_resnet50)
             model = ResNet50()
-            path = _find_weights(_WEIGHT_FILES[eval_backbone])
+            path = self.weights_path = _find_weights(
+                _WEIGHT_FILES[eval_backbone])
             lin_path = _find_weights(_WEIGHT_FILES["SwAV_torch_linear"])
             if path:
                 if lin_path is None:
@@ -151,7 +166,8 @@ class LoadEvalModel:
             from studiogan_tpu.metrics.backbones import (DINOViTSmall,
                                                          convert_dino_vits)
             model = DINOViTSmall()
-            path = _find_weights(_WEIGHT_FILES[eval_backbone])
+            path = self.weights_path = _find_weights(
+                _WEIGHT_FILES[eval_backbone])
             lin_path = _find_weights(_WEIGHT_FILES["DINO_torch_linear"])
             if path:
                 if lin_path is None:
@@ -165,7 +181,8 @@ class LoadEvalModel:
             from studiogan_tpu.metrics.swin import (SwinTransformer,
                                                     convert_swin_torch)
             model = SwinTransformer()
-            path = _find_weights(_WEIGHT_FILES[eval_backbone])
+            path = self.weights_path = _find_weights(
+                _WEIGHT_FILES[eval_backbone])
             if path:
                 return model, convert_swin_torch(_torch_load_numpy(path))
         else:

@@ -80,6 +80,46 @@ class TestCIFARPickles:
         assert len(ds) == 200
         np.testing.assert_array_equal(ds._images, ref_imgs)
 
+    def test_auto_download_path(self, tmp_path, monkeypatch):
+        """First-run auto-download (reference data_util.py:113-121):
+        a faked urlretrieve 'serves' the canonical tar.gz, the md5 gate
+        accepts it, and ingestion proceeds; a failing download degrades
+        to the FileNotFoundError, never crashes."""
+        import hashlib
+
+        from studiogan_tpu.data import datasets as ds_mod
+
+        staging = tmp_path / "staging"
+        ref_imgs, _ = _write_cifar10(staging)
+        served = tmp_path / "served.tar.gz"
+        with tarfile.open(served, "w:gz") as tf:
+            tf.add(staging / "cifar-10-batches-py",
+                   arcname="cifar-10-batches-py")
+        md5 = hashlib.md5(served.read_bytes()).hexdigest()
+        monkeypatch.setitem(
+            ds_mod._CIFAR_URLS, "CIFAR10",
+            (ds_mod._CIFAR_URLS["CIFAR10"][0], md5))
+
+        import urllib.request
+
+        def fake_retrieve(url, dst):
+            assert url.startswith("https://www.cs.toronto.edu/")
+            import shutil
+            shutil.copy(served, dst)
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+        data_dir = tmp_path / "fresh"
+        ds = Dataset_("CIFAR10", str(data_dir), train=True)
+        assert len(ds) == 200
+        np.testing.assert_array_equal(ds._images, ref_imgs)
+
+        # md5 mismatch -> download rejected -> clean FileNotFoundError
+        monkeypatch.setitem(
+            ds_mod._CIFAR_URLS, "CIFAR10",
+            (ds_mod._CIFAR_URLS["CIFAR10"][0], "0" * 32))
+        with pytest.raises(FileNotFoundError, match="auto-download failed"):
+            Dataset_("CIFAR10", str(tmp_path / "fresh2"), train=True)
+
     def test_cifar100_fine_labels(self, tmp_path):
         root = tmp_path / "cifar-100-python"
         root.mkdir(parents=True)
