@@ -347,6 +347,9 @@ def main():
         # a fresh measurement
         cache = _load_flops_cache()
         pk = f"measured_peak_tflops_{os.environ.get('PALLAS_AXON_TPU_GEN', 'tpu')}"
+        if pk not in cache:  # fall back to any cached peak (the chip gen
+            pk = next((k for k in sorted(cache)  # env var may be unset in
+                       if k.startswith("measured_peak_tflops")), pk)  # driver env
         if pk in cache and not os.environ.get("STUDIOGAN_BENCH_REMEASURE_PEAK"):
             peak_tflops = float(cache[pk])
             results["peak_from_sidecar"] = True
