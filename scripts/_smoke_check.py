@@ -73,7 +73,10 @@ def main():
                     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
             deltas[tag] = d
         out["param_delta"] = deltas
-        out["params_moved"] = all(v > 0 for v in deltas.values())
+        # strict >0 would be satisfied by CPU-vs-TPU init numerics noise
+        # (~1e-7) even with a frozen optimizer; real 20-step updates at
+        # any zoo LR move weights by >=1e-4
+        out["params_moved"] = all(v > 1e-6 for v in deltas.values())
         out["ckpt_step"] = int(np.asarray(state.step))
     else:
         out["error"] = "no checkpoint found"

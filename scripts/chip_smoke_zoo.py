@@ -171,14 +171,20 @@ def main():
     out = os.path.join(REPO, "scripts", "chip_smoke_zoo.json")
     # resume: keep families that already passed (the sweep is hours long;
     # an interrupted run should not repeat finished work)
-    results = {}
+    results, prior = {}, {}
     if os.path.exists(out):
         prior = json.load(open(out))
         # resume only past FULL passes (rc 0 + verified checks)
         results = {k: v for k, v in prior.items() if v.get("ok") is True}
         if results:
             print(f"resuming: {sorted(results)} already passed", flush=True)
-    for name, cfg in FAMILIES.items():
+    # run never-recorded / previously-failed families FIRST so an
+    # interrupted sweep still covers the round-3 gaps (StyleGANs,
+    # BigGAN-Deep, high-res, the two old timeouts) before re-verifying
+    # families that already have rc==0 evidence under the old criterion
+    order = sorted(FAMILIES, key=lambda n: prior.get(n, {}).get("rc") == 0)
+    for name in order:
+        cfg = FAMILIES[name]
         if name in results:
             continue
         print(f"=== {name} ({cfg}) ===", flush=True)
