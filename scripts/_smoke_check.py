@@ -4,6 +4,8 @@ Reads the run dir a chip_smoke_zoo.py child produced and verifies, on
 CPU (scrubbed env — never touches the chip):
 
   * every logged loss is finite and within a sane range (|x| < 1e4);
+  * the D loss VARIES across steps (identically-0.0 D loss on every
+    step = saturated/degenerate D; transient zeros are fine);
   * the saved final checkpoint's G/D params MOVED from the seed's
     fresh initialization (non-zero max |delta|) — rc==0 alone would
     pass a run whose optimizer never applied an update.
@@ -49,6 +51,11 @@ def main():
                                   and np.abs(losses).max() < 1e4)
         out["d_loss_last"] = float(losses[-1, 0])
         out["g_loss_last"] = float(losses[-1, 1])
+        # a hinge-family D transiently hits exactly 0.0 when it wins a
+        # step (seen in the 11k-step convergence run: 1.7% of steps),
+        # but IDENTICALLY-zero D loss over every logged step means a
+        # degenerate/saturated D (round-3 verdict) — require variation
+        out["d_loss_varies"] = bool(np.ptp(losses[:, 0]) > 0)
 
     ckpts = sorted(glob.glob(os.path.join(
         run_dir, "checkpoints", "*", "model=current-weights-step=*")))
@@ -81,7 +88,8 @@ def main():
     else:
         out["error"] = "no checkpoint found"
 
-    ok = out["losses_finite"] and out["losses_sane"] and out["params_moved"]
+    ok = (out["losses_finite"] and out["losses_sane"]
+          and out["params_moved"] and out.get("d_loss_varies", False))
     out["ok"] = ok
     print(json.dumps(out))
     sys.exit(0 if ok else 1)

@@ -129,9 +129,9 @@ def _compile_seconds(lines) -> float | None:
     import datetime
 
     def ts(ln):
-        try:
+        try:  # "[INFO] 2026-08-18 09:54:44 > ..."
             return datetime.datetime.strptime(
-                ln.split("]")[0].split(None, 1)[1].strip(),
+                ln.split("]", 1)[1].split(">")[0].strip(),
                 "%Y-%m-%d %H:%M:%S").timestamp()
         except Exception:
             return None
