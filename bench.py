@@ -14,17 +14,27 @@ Workloads (mirroring the reference's headline training runs, BASELINE.md):
 MFU = model FLOPs/step (XLA cost analysis of the compiled step) divided
 by measured wall time and the chip's measured matmul peak.
 
-Prints ONE JSON line.  Robustness contract (round-2 postmortem: the
-driver's run timed out mid-compile and captured nothing):
+Prints ONE JSON line.  Robustness contract (round-2/3/4 postmortems —
+driver runs have timed out mid-compile, and in round 4 the CIFAR section
+ate the ImageNet section's budget):
 
-  * persistent XLA compile cache at ``.jax_cache`` (same dir as
-    __graft_entry__/tests) — warm reruns skip every heavy compile;
+  * the TPU persistent compile cache lives at ``.jax_cache/tpu`` and is
+    COMMITTED — TPU executables are host-CPU-independent, so a driver
+    run on a fresh machine starts warm and skips every heavy compile
+    (round-4 root cause: the cache was machine-local and rounds hop
+    machines);
+  * the orchestrator (this file, no --section arg) runs each workload
+    in its own subprocess with a hard per-section cap, so no section
+    can eat a later section's reservation; a killed section is recorded
+    as ``<name>_killed_budget`` with its wall time;
   * unrolled-scan FLOPs counts are cached in ``bench_flops.json``
     (committed), so reruns never pay the count-only lower+compiles;
-  * a watchdog thread emits the JSON line with whatever workloads
-    completed after ``STUDIOGAN_BENCH_BUDGET_S`` seconds (default 960)
-    and exits 0 — partial numbers beat a silent timeout;
-  * per-workload failures are logged to stderr, never swallowed.
+  * a watchdog emits the JSON line with whatever workloads completed
+    after ``STUDIOGAN_BENCH_BUDGET_S`` seconds (default 960), kills any
+    in-flight section child, and exits 0;
+  * per-workload failures are logged to stderr, never swallowed;
+  * the emitted line records machine state (cores, load, cache entries)
+    so a slow driver run is diagnosable after the fact.
 
 Timing gotcha: on the tunneled `axon` platform ``block_until_ready``
 measures enqueue rate, not execution — every window must end with a
@@ -35,16 +45,19 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
 import traceback
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
+# committed, host-independent TPU executable cache (see module docstring)
+_TPU_CACHE = os.path.join(_REPO, ".jax_cache", "tpu")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _TPU_CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -61,8 +74,14 @@ _FLOPS_SIDECAR = os.path.join(_REPO, "bench_flops.json")
 _T0 = time.time()
 _BUDGET = float(os.environ.get("STUDIOGAN_BENCH_BUDGET_S", "960"))
 
+# cold-compile wall estimates (builder machine, empty cache — round-4
+# measurements: cifar 305s, imagenet 626s); used for reservations only
+_COLD_NEED = {"cifar": 350, "imagenet128": 630, "stylegan2": 420,
+              "cifar_e2e": 280}
+
 results: dict = {}
 _emitted = threading.Event()
+_current_child: subprocess.Popen | None = None
 
 
 def _emit_json_line(final: bool = True):
@@ -86,6 +105,13 @@ def _emit_json_line(final: bool = True):
                 results["cifar_steps_per_sec"] / BASELINE_CIFAR_STEPS_PER_SEC,
                 4),
         }
+    elif "imagenet128_imgs_per_sec_per_chip" in results:
+        head = {
+            "metric": "biggan_imagenet128_imgs_per_sec_per_chip",
+            "value": results["imagenet128_imgs_per_sec_per_chip"],
+            "unit": "imgs/s/chip (1 D + 1 G updates, effective batch 256)",
+            "vs_baseline": results.get("imagenet128_vs_reference_rig"),
+        }
     else:  # nothing finished in budget — still emit a parseable line
         head = {
             "metric": "biggan_cifar10_train_steps_per_sec",
@@ -101,6 +127,8 @@ def _watchdog():
         f"bench watchdog: budget {_BUDGET}s exhausted, emitting partial "
         f"results ({sorted(results)})\n")
     sys.stderr.flush()
+    if _current_child is not None and _current_child.poll() is None:
+        _current_child.kill()  # don't leave an orphan TPU process behind
     _emit_json_line()
     os._exit(0)
 
@@ -112,6 +140,21 @@ def _remaining() -> float:
 def _mark(msg: str) -> None:
     sys.stderr.write(f"bench [{time.time() - _T0:7.1f}s] {msg}\n")
     sys.stderr.flush()
+
+
+def _machine_info() -> dict:
+    """Record enough host state to diagnose a slow driver run."""
+    info = {}
+    try:
+        info["cores"] = os.cpu_count()
+        info["load1"] = round(os.getloadavg()[0], 2)
+        info["tpu_cache_entries"] = len(os.listdir(_TPU_CACHE)) \
+            if os.path.isdir(_TPU_CACHE) else 0
+        from __graft_entry__ import _machine_cache_dir
+        info["host_fp"] = os.path.basename(_machine_cache_dir(_REPO, "cpu"))
+    except Exception:  # diagnostics must never break the bench
+        pass
+    return info
 
 
 def _load_flops_cache() -> dict:
@@ -209,7 +252,10 @@ def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, flops_cfg=None,
 
     imgs, labels = staged_basket(cfg)
     step = jax.jit(eng.train_step, donate_argnums=0)
+    t_c = time.time()
     compiled = step.lower(state, imgs, labels).compile()
+    compile_s = round(time.time() - t_c, 1)
+    sys.stderr.write(f"bench: train-step compile {compile_s}s\n")
     flops = _step_flops(compiled)  # fallback: undercounts scan bodies
 
     n_micro = (cfg.OPTIMIZATION.d_updates_per_step
@@ -225,10 +271,6 @@ def _bench_cfg_run(cfg, n_steps=20, windows=3, warmup=3, flops_cfg=None,
         cache = _load_flops_cache()
         if flops_key is not None and flops_key in cache:
             flops = float(cache[flops_key])
-        elif _remaining() < 240:
-            sys.stderr.write(
-                f"bench: skipping unrolled FLOPs count for {flops_key} "
-                "(budget), MFU will be under-counted\n")
         else:
             fcfg = flops_cfg or cfg
             try:
@@ -310,162 +352,251 @@ def _bench_cifar_e2e(cfg, n_steps=20, chunk=10):
     return max(rates)
 
 
-def _section(name):
-    """Per-workload guard: a failing section logs loudly and the bench
-    still emits its JSON line with everything else (round-2 postmortem:
-    all-or-nothing benches capture nothing)."""
-    import contextlib
+# --------------------------------------------------------------------------
+# Section bodies.  Each runs in its OWN subprocess (fresh XLA client) so
+# the orchestrator can enforce a hard per-section cap without leaving the
+# tunnel in a weird state; each returns the dict merged into `results`.
+# --------------------------------------------------------------------------
 
-    @contextlib.contextmanager
-    def cm():
-        try:
-            yield
-        except Exception:
-            results[f"{name}_error"] = traceback.format_exc().strip(
-                ).splitlines()[-1][:200]
-            sys.stderr.write(f"bench section {name} FAILED:\n"
-                             + traceback.format_exc())
-            sys.stderr.flush()
-    return cm()
+def _peak_tflops_value() -> tuple[float, bool]:
+    """(peak, from_sidecar).  The chained-matmul peak is a hardware
+    constant; it is cached in the committed sidecar and only re-measured
+    on STUDIOGAN_BENCH_REMEASURE_PEAK=1 (the 8k x 8k scan costs minutes
+    of compile)."""
+    cache = _load_flops_cache()
+    pk = f"measured_peak_tflops_{os.environ.get('PALLAS_AXON_TPU_GEN', 'tpu')}"
+    if pk not in cache:  # fall back to any cached peak (the chip gen
+        pk = next((k for k in sorted(cache)  # env var may be unset in
+                   if k.startswith("measured_peak_tflops")), pk)  # driver env
+    if pk in cache and not os.environ.get("STUDIOGAN_BENCH_REMEASURE_PEAK"):
+        return float(cache[pk]), True
+    peak = _measure_peak_tflops()
+    cache[pk] = round(peak, 1)
+    _save_flops_cache(cache)
+    return peak, False
 
 
-def main():
-    from __graft_entry__ import _biggan_cfg
-    from studiogan_tpu.config import Configurations
+def _sec_peak() -> dict:
+    peak, from_sidecar = _peak_tflops_value()
+    return {"measured_matmul_peak_tflops": round(peak, 1),
+            "peak_from_sidecar": from_sidecar}
 
-    threading.Timer(max(30.0, _BUDGET - (time.time() - _T0)),
-                    _watchdog).start()
 
-    mpc = os.environ.get("STUDIOGAN_BENCH_MPC") == "1"
-
-    with _section("peak"):
-        _mark("peak: start")
-        # the chained-matmul peak is a hardware constant; its ~8k x 8k
-        # scan costs minutes of remote compile per run (the axon compile
-        # cache does not persist across sessions), so cache the measured
-        # value in the sidecar — STUDIOGAN_BENCH_REMEASURE_PEAK=1 forces
-        # a fresh measurement
-        cache = _load_flops_cache()
-        pk = f"measured_peak_tflops_{os.environ.get('PALLAS_AXON_TPU_GEN', 'tpu')}"
-        if pk not in cache:  # fall back to any cached peak (the chip gen
-            pk = next((k for k in sorted(cache)  # env var may be unset in
-                       if k.startswith("measured_peak_tflops")), pk)  # driver env
-        if pk in cache and not os.environ.get("STUDIOGAN_BENCH_REMEASURE_PEAK"):
-            peak_tflops = float(cache[pk])
-            results["peak_from_sidecar"] = True
-        else:
-            peak_tflops = _measure_peak_tflops()
-            cache[pk] = round(peak_tflops, 1)
-            _save_flops_cache(cache)
-        results["measured_matmul_peak_tflops"] = round(peak_tflops, 1)
-
-    _emit_json_line(final=False)
-
-    # --- CIFAR10-32 BigGAN headline (5 D + 1 G, bs64) ----------------------
+def _sec_cifar(peak_tflops: float) -> dict:
     # Timed with the LOOPED (scan) step: its compile is ~5x cheaper than
     # the 5-D-update unrolled program and only ~2% slower to run — the
     # round-3 driver bench lost its whole budget to the unrolled compile.
     # Exact FLOPs come from the committed sidecar (unrolled count, primed
     # once on-chip by scripts/prime_bench_flops.py).
+    from __graft_entry__ import _biggan_cfg
+    mpc = os.environ.get("STUDIOGAN_BENCH_MPC") == "1"
     cfg = _biggan_cfg()
     cfg.RUN.mixed_precision = mpc
-    with _section("cifar"):
-        _mark("cifar: start")
-        sps, flops = _bench_cfg_run(
-            cfg, flops_key=f"cifar_biggan_bs64_du5_unrolled_mpc{int(mpc)}")
-        _mark("cifar: done")
-        results["cifar_steps_per_sec"] = round(sps, 3)
-        results["cifar_model_tflops_per_step"] = round(flops / 1e12, 3)
-        results["cifar_mfu"] = round(flops * sps / (peak_tflops * 1e12), 4)
+    sps, flops = _bench_cfg_run(
+        cfg, flops_key=f"cifar_biggan_bs64_du5_unrolled_mpc{int(mpc)}")
+    return {
+        "cifar_steps_per_sec": round(sps, 3),
+        "cifar_model_tflops_per_step": round(flops / 1e12, 3),
+        "cifar_mfu": round(flops * sps / (peak_tflops * 1e12), 4),
+    }
 
-    _emit_json_line(final=False)
 
-    # --- ImageNet-128 BigGAN (1 D + 1 G, effective batch 256) --------------
+def _imagenet_cfg(bs, acml):
+    from studiogan_tpu.config import Configurations
+    c = Configurations(os.path.join(
+        _REPO, "configs", "ImageNet", "BigGAN2048.yaml"))
+    c.OPTIMIZATION.batch_size = bs
+    c.OPTIMIZATION.acml_steps = acml
+    c.RUN.mixed_precision = True
+    c.finalize()
+    return c
+
+
+def _sec_imagenet128(peak_tflops: float) -> dict:
     # Largest micro-batch that fits decides throughput (blockwise
     # attention removed the (N,4096,1024) map ceiling): bf16 runs the
-    # whole effective batch as ONE bs256 micro; fp32 needs bs128 x acml2.
-    # FLOPs for the acml>1 split are counted on the unrolled bs64 x acml4
-    # lowering (same effective batch, conv FLOPs linear in batch; the
-    # unrolled bs128 form exceeds HBM); at acml=1 the looped count is
-    # already complete.
-    if _remaining() > 420:  # ~300s remote compile + timing
-      with _section("imagenet128"):
-        _mark("imagenet128: start")
-        def _imagenet_cfg(bs, acml):
-            c = Configurations(os.path.join(
-                _REPO, "configs", "ImageNet", "BigGAN2048.yaml"))
-            c.OPTIMIZATION.batch_size = bs
-            c.OPTIMIZATION.acml_steps = acml
-            c.RUN.mixed_precision = True
-            c.finalize()
-            return c
+    # whole effective batch as ONE bs256 micro (no scans -> the FLOPs
+    # count is exact from the timing compile, one compile total).
+    icfg = _imagenet_cfg(256, 1)
+    isps, iflops = _bench_cfg_run(icfg, n_steps=8, windows=2, warmup=2)
+    eff = icfg.OPTIMIZATION.batch_size * icfg.OPTIMIZATION.acml_steps
+    return {
+        "imagenet128_precision": "bf16",
+        "imagenet128_imgs_per_sec_per_chip": round(isps * eff, 1),
+        "imagenet128_model_tflops_per_step": round(iflops / 1e12, 3),
+        "imagenet128_mfu": round(iflops * isps / (peak_tflops * 1e12), 4),
+        "imagenet128_vs_reference_rig": round(
+            isps * eff / BASELINE_IMAGENET_IMGS_PER_SEC, 3),
+    }
 
-        # always bench the best-fitting config: bf16 compute policy runs
-        # the whole effective batch as one bs256 micro (no scans -> the
-        # FLOPs count is exact from the timing compile, one compile total)
-        icfg = _imagenet_cfg(256, 1)
-        isps, iflops = _bench_cfg_run(icfg, n_steps=8, windows=2, warmup=2)
-        results["imagenet128_precision"] = "bf16"
-        eff = icfg.OPTIMIZATION.batch_size * icfg.OPTIMIZATION.acml_steps
-        results["imagenet128_imgs_per_sec_per_chip"] = round(isps * eff, 1)
-        results["imagenet128_model_tflops_per_step"] = round(iflops / 1e12, 3)
-        results["imagenet128_mfu"] = round(
-            iflops * isps / (peak_tflops * 1e12), 4)
-        results["imagenet128_vs_reference_rig"] = round(
-            isps * eff / BASELINE_IMAGENET_IMGS_PER_SEC, 3)
-        _mark("imagenet128: done")
+
+def _sec_stylegan2(peak_tflops: float) -> dict:
+    # CIFAR10-32 StyleGAN2-D2DCE-DiffAug (2 D + 1 G at bs64, lazy R1
+    # every d_reg_interval; 32 timed steps amortize the R1 events).
+    from studiogan_tpu.config import Configurations
+    scfg = Configurations(os.path.join(
+        _REPO, "configs", "CIFAR10", "StyleGAN2-D2DCE-DiffAug.yaml"))
+    scfg.RUN.train = True
+    scfg.finalize()
+    # FLOPs caveat: an unrolled count of the full step includes BOTH
+    # lax.cond branches, and the lazy-R1 body (double-grad) only runs
+    # every d_reg_interval steps — that count lands above the roofline.
+    # Count the R1-disabled variant instead: a strict LOWER bound on
+    # per-step model work → lower-bound MFU.
+    sflops_cfg = Configurations(os.path.join(
+        _REPO, "configs", "CIFAR10", "StyleGAN2-D2DCE-DiffAug.yaml"))
+    sflops_cfg.RUN.train = True
+    sflops_cfg.LOSS.apply_r1_reg = False
+    sflops_cfg.LOSS.r1_place = "N/A"
+    sflops_cfg.finalize()
+    ssps, sflops = _bench_cfg_run(scfg, n_steps=32, windows=2, warmup=4,
+                                  flops_cfg=sflops_cfg,
+                                  flops_key="sg2_cifar_r1off_unrolled")
+    return {
+        "stylegan2_cifar_steps_per_sec": round(ssps, 3),
+        "stylegan2_cifar_vs_reference": round(
+            ssps / BASELINE_SG2_CIFAR_STEPS_PER_SEC, 3),
+        "stylegan2_cifar_tflops_per_step_lb": round(sflops / 1e12, 3),
+        "stylegan2_cifar_mfu_lb": round(
+            ssps * sflops / (peak_tflops * 1e12), 4),
+    }
+
+
+def _sec_cifar_e2e(peak_tflops: float) -> dict:
+    from __graft_entry__ import _biggan_cfg
+    cfg = _biggan_cfg()
+    cfg.RUN.mixed_precision = os.environ.get("STUDIOGAN_BENCH_MPC") == "1"
+    return {"cifar_steps_per_sec_e2e": round(_bench_cifar_e2e(cfg), 3)}
+
+
+_SECTIONS = {
+    "peak": _sec_peak,
+    "cifar": _sec_cifar,
+    "imagenet128": _sec_imagenet128,
+    "stylegan2": _sec_stylegan2,
+    "cifar_e2e": _sec_cifar_e2e,
+}
+
+
+def _run_section_child(name: str, cap_s: float, peak: float) -> dict:
+    """Run one section in a subprocess with a hard wall-clock cap.
+    Stdout/stderr stream through; results come back via a temp file."""
+    global _current_child
+    import tempfile
+    out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
+    cmd = [sys.executable, "-u", os.path.abspath(__file__),
+           "--section", name, "--out", out, "--peak", str(peak)]
+    t0 = time.time()
+    _current_child = subprocess.Popen(cmd, cwd=_REPO)
+    killed = False
+    try:
+        rc = _current_child.wait(timeout=cap_s)
+    except subprocess.TimeoutExpired:
+        _current_child.kill()
+        _current_child.wait()
+        rc, killed = -9, True
+    finally:
+        _current_child = None
+    wall = round(time.time() - t0, 1)
+    sec: dict = {f"{name}_section_s": wall}
+    if killed:
+        sec[f"{name}_killed_budget"] = round(cap_s, 1)
+        sys.stderr.write(f"bench: section {name} KILLED at its "
+                         f"{cap_s:.0f}s cap\n")
+    elif rc != 0:
+        sec[f"{name}_error"] = f"section subprocess rc={rc}"
+        sys.stderr.write(f"bench: section {name} FAILED rc={rc}\n")
     else:
-        results["imagenet128_skipped_budget"] = True
+        try:
+            with open(out) as f:
+                sec.update(json.load(f))
+        except Exception:
+            sec[f"{name}_error"] = "section wrote no parseable results"
+    try:
+        os.unlink(out)
+    except OSError:
+        pass
+    return sec
 
+
+def _section_main(name: str, out_path: str, peak: float) -> None:
+    """Child mode: run one section inline, write its results JSON."""
+    fn = _SECTIONS[name]
+    res = fn() if name == "peak" else fn(peak)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(res, f)
+    os.replace(tmp, out_path)
+
+
+def main():
+    threading.Timer(max(30.0, _BUDGET - (time.time() - _T0)),
+                    _watchdog).start()
+    results["machine"] = _machine_info()
+
+    # peak: pure sidecar read unless a re-measure is forced (then it
+    # needs the device -> run it as a capped section child too)
+    if os.environ.get("STUDIOGAN_BENCH_REMEASURE_PEAK"):
+        results.update(_run_section_child("peak", min(300, _remaining() - 30),
+                                          0.0))
+    else:
+        with_sidecar = _sec_peak()
+        results.update(with_sidecar)
+    peak_tflops = float(results.get("measured_matmul_peak_tflops") or 136.2)
     _emit_json_line(final=False)
 
-    # --- CIFAR10-32 StyleGAN2-D2DCE-DiffAug (2 D + 1 G at bs64, lazy R1
-    # every d_reg_interval; 32 timed steps amortize the R1 events)
-    if _remaining() > 380:  # ~300s remote compile + timing
-      with _section("stylegan2"):
-        _mark("stylegan2: start")
-        scfg = Configurations(os.path.join(
-            _REPO, "configs", "CIFAR10", "StyleGAN2-D2DCE-DiffAug.yaml"))
-        scfg.RUN.train = True
-        scfg.finalize()
-        # FLOPs caveat: an unrolled count of the full step includes BOTH
-        # lax.cond branches, and the lazy-R1 body (double-grad) only runs
-        # every d_reg_interval steps — that count lands above the
-        # roofline.  Count the R1-disabled variant instead: a strict
-        # LOWER bound on per-step model work → lower-bound MFU.
-        sflops_cfg = Configurations(os.path.join(
-            _REPO, "configs", "CIFAR10", "StyleGAN2-D2DCE-DiffAug.yaml"))
-        sflops_cfg.RUN.train = True
-        sflops_cfg.LOSS.apply_r1_reg = False
-        sflops_cfg.LOSS.r1_place = "N/A"
-        sflops_cfg.finalize()
-        ssps, sflops = _bench_cfg_run(scfg, n_steps=32, windows=2, warmup=4,
-                                      flops_cfg=sflops_cfg,
-                                      flops_key="sg2_cifar_r1off_unrolled")
-        results["stylegan2_cifar_steps_per_sec"] = round(ssps, 3)
-        results["stylegan2_cifar_vs_reference"] = round(
-            ssps / BASELINE_SG2_CIFAR_STEPS_PER_SEC, 3)
-        results["stylegan2_cifar_tflops_per_step_lb"] = round(sflops / 1e12, 3)
-        results["stylegan2_cifar_mfu_lb"] = round(
-            ssps * sflops / (peak_tflops * 1e12), 4)
-        _mark("stylegan2: done")
-    else:
-        results["stylegan2_skipped_budget"] = True
-
-    _emit_json_line(final=False)
-
-    # --- CIFAR end-to-end through the input pipeline -----------------------
-    # (last: it re-proves the host path is hidden, not a new headline)
-    if _remaining() > 250:  # ~200s chunked-train_steps compile + timing
-      with _section("cifar_e2e"):
-        _mark("cifar_e2e: start")
-        results["cifar_steps_per_sec_e2e"] = round(_bench_cifar_e2e(cfg), 3)
-    else:
-        results["cifar_e2e_skipped_budget"] = True
+    # Reservation plan (round-4 verdict item 2): CIFAR may not eat the
+    # ImageNet budget.  CIFAR's cap is min(its cold need, what's left
+    # after reserving ImageNet's cold need); ImageNet then gets all
+    # remaining time; SG2/e2e only run with their cold need still free
+    # (they are warm-cache bonuses, and both were skipped_budget in the
+    # round-4 cold run too).
+    plan = [
+        ("cifar", lambda: min(_COLD_NEED["cifar"],
+                              _remaining() - _COLD_NEED["imagenet128"])),
+        ("imagenet128", lambda: _remaining() - 15),
+        ("stylegan2", lambda: (_remaining() - 15
+                               if _remaining() > _COLD_NEED["stylegan2"]
+                               else 0)),
+        ("cifar_e2e", lambda: (_remaining() - 10
+                               if _remaining() > _COLD_NEED["cifar_e2e"]
+                               else 0)),
+    ]
+    for name, cap_fn in plan:
+        cap = cap_fn()
+        if cap < 45:
+            results[f"{name}_skipped_budget"] = True
+            _mark(f"{name}: skipped (remaining {_remaining():.0f}s)")
+            continue
+        _mark(f"{name}: start (cap {cap:.0f}s)")
+        results.update(_run_section_child(name, cap, peak_tflops))
+        _mark(f"{name}: done")
+        _emit_json_line(final=False)
+        if name == "cifar" and "cifar_killed_budget" in results:
+            # the cap kill proves this machine is slow AND the compile
+            # cache cold — the ImageNet cold compile cannot fit the
+            # remaining budget either, so salvage the primary headline:
+            # re-run CIFAR with everything that's left (its cold compile
+            # DOES fit, and any partial cache writes make it cheaper)
+            cap = _remaining() - 15
+            if cap > 45:
+                _mark(f"cifar: retry uncapped ({cap:.0f}s) — machine "
+                      f"slow+cold, imagenet reservation released")
+                results.update(_run_section_child("cifar", cap, peak_tflops))
+                _emit_json_line(final=False)
+            for later in ("imagenet128", "stylegan2", "cifar_e2e"):
+                results[f"{later}_skipped_budget"] = True
+            break
 
     _emit_json_line()
     os._exit(0)  # don't wait for the watchdog timer thread
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--section":
+        # child mode: bench.py --section NAME --out FILE --peak X
+        args = dict(zip(sys.argv[1::2], sys.argv[2::2]))
+        _section_main(args["--section"], args["--out"],
+                      float(args.get("--peak", "0") or 0))
+    else:
+        main()

@@ -169,34 +169,49 @@ def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     out_root = tempfile.mkdtemp(prefix="chip_smoke_zoo_")
     out = os.path.join(REPO, "scripts", "chip_smoke_zoo.json")
-    # resume: keep families that already passed (the sweep is hours long;
-    # an interrupted run should not repeat finished work)
-    results, prior = {}, {}
+    # The ledger MERGES across runs (round-4 verdict item 4: a stricter
+    # criterion mid-round silently discarded 16 recorded families):
+    # fresh results replace old ones per family, and a replaced or
+    # no-longer-green prior entry moves under "_stale" instead of being
+    # deleted — the evidence trail survives criterion changes.
+    results, stale = {}, {}
     if os.path.exists(out):
         prior = json.load(open(out))
-        # resume only past FULL passes (rc 0 + verified checks)
-        results = {k: v for k, v in prior.items() if v.get("ok") is True}
-        if results:
-            print(f"resuming: {sorted(results)} already passed", flush=True)
-    # run never-recorded / previously-failed families FIRST so an
-    # interrupted sweep still covers the round-3 gaps (StyleGANs,
-    # BigGAN-Deep, high-res, the two old timeouts) before re-verifying
-    # families that already have rc==0 evidence under the old criterion
-    order = sorted(FAMILIES, key=lambda n: prior.get(n, {}).get("rc") == 0)
+        stale = prior.pop("_stale", {})
+        results = prior
+    # a family is DONE if it passed AND carries a parsed compile time
+    # (pre-round-4 passes predate the compile_s parser fix — re-run them
+    # to complete the per-family wall/compile evidence)
+    def done(name):
+        e = results.get(name, {})
+        return e.get("ok") is True and e.get("compile_s") is not None
+    if any(done(n) for n in FAMILIES):
+        print(f"resuming: {sorted(n for n in FAMILIES if done(n))} "
+              f"already complete", flush=True)
+    # run never-green families FIRST so an interrupted sweep still
+    # covers the coverage gaps before re-verifying old passes
+    order = sorted(FAMILIES, key=lambda n: results.get(n, {}).get("ok") is True)
     for name in order:
         cfg = FAMILIES[name]
-        if name in results:
+        if done(name):
             continue
         print(f"=== {name} ({cfg}) ===", flush=True)
-        results[name] = run_one(name, cfg, n_steps, out_root)
-        r = results[name]
-        status = ("OK" if r.get("ok") else
-                  f"FAIL rc={r['rc']} checks={r.get('checks', {})}")
-        print(f"    {status} in {r['wall_s']}s (compile {r.get('compile_s')}s)"
-              f"  {r['last']}", flush=True)
-        json.dump(results, open(out, "w"), indent=1)
-    n_ok = sum(bool(r.get("ok")) for r in results.values())
-    print(f"\n{n_ok}/{len(results)} families trained+verified on chip; "
+        res = run_one(name, cfg, n_steps, out_root)
+        if name in results:  # preserve the superseded entry
+            old = dict(results[name])
+            old.pop("tail", None)
+            stale[name] = old
+        if res.get("ok") and name in stale:
+            stale.pop(name)  # fresh green supersedes the stale record
+        results[name] = res
+        status = ("OK" if res.get("ok") else
+                  f"FAIL rc={res['rc']} checks={res.get('checks', {})}")
+        print(f"    {status} in {res['wall_s']}s "
+              f"(compile {res.get('compile_s')}s)  {res['last']}", flush=True)
+        json.dump({**results, **({"_stale": stale} if stale else {})},
+                  open(out, "w"), indent=1)
+    n_ok = sum(results.get(n, {}).get("ok") is True for n in FAMILIES)
+    print(f"\n{n_ok}/{len(FAMILIES)} families trained+verified on chip; "
           f"results -> {out}")
 
 

@@ -31,8 +31,13 @@ def smooth(x, k=101):
 def main():
     stats_dir, out_dir = sys.argv[1], sys.argv[2]
     os.makedirs(out_dir, exist_ok=True)
-    rows = [json.loads(ln) for ln in
-            open(os.path.join(stats_dir, "train_stats.jsonl"))]
+    path = os.path.join(stats_dir, "train_stats.jsonl")
+    if os.path.exists(path):
+        rows = [json.loads(ln) for ln in open(path)]
+    else:  # committed evidence keeps the stats gzipped
+        import gzip
+        with gzip.open(path + ".gz", "rt") as f:
+            rows = [json.loads(ln) for ln in f]
 
     loss = [(r["step"], r["d_loss"], r["g_loss"]) for r in rows
             if "d_loss" in r and "g_loss" in r]
@@ -71,21 +76,29 @@ def main():
         fig.savefig(os.path.join(out_dir, "sn_sigmas.png"), dpi=120)
 
     def fid_key(r):
+        # random-backbone FID is DEGENERATE (random Inception features
+        # collapse it to ~1e-6) — never treat it as a curve (round-4
+        # verdict item 6).  Only a real, untagged, finite FID qualifies.
         for k in r:
-            if k == "fid" or k.startswith("fid_"):
+            if (k == "fid" or k.startswith("fid_")) \
+                    and "RANDOM_BACKBONE" not in k:
                 return k
         return None
 
-    ev = [dict(r, fid=r[fid_key(r)]) for r in rows if fid_key(r)]
+    dropped_rb = sum(1 for r in rows
+                     if any("RANDOM_BACKBONE" in k for k in r))
+    ev = [dict(r, fid=r[fid_key(r)]) for r in rows
+          if fid_key(r) and np.isfinite(r[fid_key(r)])]
     summary = {"n_loss_rows": len(loss),
                "d_loss_last_1k_mean": float(np.mean(d[-1000:])),
                "g_loss_last_1k_mean": float(np.mean(g[-1000:])),
                "d_loss_zero_frac": float(np.mean(d == 0.0))}
-    if ev:
+    if dropped_rb:
+        summary["random_backbone_evals_dropped"] = dropped_rb
+    if ev:  # only reached with a REAL pretrained eval backbone
         fig, ax = plt.subplots(figsize=(8, 5))
         xs = [r["step"] for r in ev]
-        ax.plot(xs, [r["fid"] for r in ev], "o-", label="FID (random-init "
-                "backbone = honest proxy, no pretrained weights in env)")
+        ax.plot(xs, [r["fid"] for r in ev], "o-", label="FID")
         is_keys = [k for k in ev[0] if k == "is" or k.startswith("is_")
                    and not k.startswith("is_std")]
         if is_keys:
@@ -94,12 +107,42 @@ def main():
             ax2.plot(xs, [r.get(k) for r in ev], "s--", color="tab:green",
                      label="IS")
             ax2.set_ylabel("IS")
-        ax.set_xlabel("step"); ax.set_ylabel("FID proxy")
+        ax.set_xlabel("step"); ax.set_ylabel("FID")
         ax.set_title("Eval metrics during training")
         ax.legend(fontsize=8); ax.grid(alpha=0.3)
         fig.tight_layout()
         fig.savefig(os.path.join(out_dir, "metrics.png"), dpi=120)
         summary["fid_curve"] = [(r["step"], round(r["fid"], 3)) for r in ev]
+
+    # honest quality metric without pretrained backbones: per-class
+    # mean-color error of G_ema vs the structured data drop
+    # (scripts/convergence_quality_proxy.py writes quality_proxy.jsonl)
+    for d in (stats_dir, out_dir):
+        qp = os.path.join(d, "quality_proxy.jsonl")
+        if os.path.exists(qp):
+            q = [json.loads(ln) for ln in open(qp)]
+            q.sort(key=lambda r: r["step"])
+            fig, ax = plt.subplots(figsize=(8, 5))
+            ax.plot([r["step"] for r in q], [r["mean_err"] for r in q],
+                    "o-", color="tab:purple",
+                    label="per-class mean-color error of G_ema")
+            bb = q[-1].get("blind_baseline")
+            if bb is not None:
+                ax.axhline(bb, ls="--", color="tab:red",
+                           label=f"blind baseline ({bb})")
+            ax.set_xlabel("step"); ax.set_ylabel("mean abs error")
+            ax.set_title("Honest quality proxy (no pretrained backbone "
+                         "in env; lower is better)")
+            ax.legend(fontsize=9); ax.grid(alpha=0.3)
+            fig.tight_layout()
+            fig.savefig(os.path.join(
+                out_dir, "metrics_proxy.png" if ev else "metrics.png"),
+                dpi=120)
+            summary["quality_proxy_curve"] = [
+                (r["step"], r["mean_err"]) for r in q]
+            if bb is not None:
+                summary["quality_proxy_blind_baseline"] = bb
+            break
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary)[:800])

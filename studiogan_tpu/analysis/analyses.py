@@ -211,6 +211,11 @@ def calculate_intra_class_fid(engine, state, eval_model, dataset,
             remaining -= len(f[:remaining])
         mu_f, sig_f = fid_mod.compute_moments(np.concatenate(fake_feats))
         ifids[c] = fid_mod.frechet_inception_distance(mu_r, sig_r, mu_f, sig_f)
+    if eval_model.random_weights and not os.environ.get(
+            "STUDIOGAN_ALLOW_RANDOM_BACKBONE"):
+        # same honest-eval guardrail as Evaluator.evaluate: random-
+        # backbone FID is degenerate — refuse to return numbers
+        ifids = {c: float("nan") for c in ifids}
     return ifids
 
 

@@ -90,8 +90,9 @@ def evaluate(dset1: str, dset2: str, metrics: list[str],
     if eval_model.random_weights and not os.environ.get(
             "STUDIOGAN_ALLOW_RANDOM_BACKBONE"):
         # honest-eval guardrail (same as Evaluator.evaluate): random
-        # backbone weights -> scores are not comparable, tag every key
-        out = {f"{k}_RANDOM_BACKBONE": v for k, v in out.items()}
+        # backbone weights -> scores are not comparable — tag every key
+        # and refuse to return numbers (NaN, round-4 verdict item 6)
+        out = {f"{k}_RANDOM_BACKBONE": float("nan") for k in out}
     return out
 
 

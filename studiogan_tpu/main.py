@@ -135,6 +135,9 @@ def run(argv=None):
     rt = setup_runtime(cfg.RUN.total_nodes, cfg.RUN.current_node,
                        model_axis=getattr(cfg.RUN, "model_axis", 1),
                        fsdp=getattr(cfg.RUN, "fsdp", False))
+    # warm XLA compiles across processes (TPU executables are shared
+    # repo-wide, CPU ones per-machine — see misc.machine_fingerprint)
+    misc.enable_persistent_compile_cache()
     cfg.finalize(world_size=rt.num_devices)
     cfg.check_compatability()
 

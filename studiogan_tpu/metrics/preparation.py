@@ -327,9 +327,12 @@ class Evaluator:
         if self.eval_model.random_weights and not os.environ.get(
                 "STUDIOGAN_ALLOW_RANDOM_BACKBONE"):
             # honest-eval guardrail: without pretrained backbone weights
-            # these numbers are NOT comparable to anything — tag every
-            # key so logs/JSONL can never pass them off as real scores
-            # (set STUDIOGAN_ALLOW_RANDOM_BACKBONE=1 to keep bare keys,
-            # e.g. in smoke tests)
-            out = {f"{k}_RANDOM_BACKBONE": v for k, v in out.items()}
+            # these numbers are NOT comparable to anything (random
+            # Inception features collapse FID to a degenerate ~1e-6) —
+            # tag every key AND replace the value with NaN so no
+            # log/JSONL/curve can ever present them as data (round-4
+            # verdict item 6).  STUDIOGAN_ALLOW_RANDOM_BACKBONE=1 keeps
+            # bare keys + numeric values (smoke tests of the metric
+            # plumbing itself).
+            out = {f"{k}_RANDOM_BACKBONE": float("nan") for k in out}
         return out

@@ -10,6 +10,49 @@ from time import time
 import numpy as np
 
 
+def machine_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags.  XLA:CPU persists
+    AOT executables specialized to the compiling host; loading them on a
+    different machine warns (and can SIGILL), so CPU compile caches must
+    be keyed per machine.  TPU executables are host-independent."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            sig = next(ln for ln in f if ln.startswith("flags"))
+    except Exception:
+        import platform
+        sig = platform.processor() or platform.machine() or "unknown"
+    return hashlib.sha1(sig.encode()).hexdigest()[:10]
+
+
+def enable_persistent_compile_cache(root: str | None = None) -> str:
+    """Point jax's persistent compilation cache at the repo-level
+    ``.jax_cache``: TPU executables go to the shared (committable)
+    ``tpu`` subdir, CPU executables to a per-machine subdir (see
+    machine_fingerprint).  Safe to call after backend init — the cache
+    dir is consulted at compile time.  Returns the chosen dir.
+
+    An explicit JAX_COMPILATION_CACHE_DIR env var wins (tests and the
+    verify recipe pin their own cache)."""
+    import jax
+    env_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env_dir:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return env_dir
+    if root is None:
+        import studiogan_tpu
+        root = os.environ.get("STUDIOGAN_CACHE_ROOT") or os.path.dirname(
+            os.path.dirname(os.path.abspath(studiogan_tpu.__file__)))
+    plat = jax.devices()[0].platform
+    tag = f"cpu-{machine_fingerprint()}" if plat == "cpu" else "tpu"
+    d = os.path.join(root, ".jax_cache", tag)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return d
+
+
 def fix_seed(seed: int) -> int:
     """reference misc.py:158-164; JAX randomness is all explicit keys, so
     only python/numpy global RNGs need pinning (data pipeline)."""

