@@ -121,6 +121,79 @@ def step():
                   label=f"bs256 bf16 attn={impl}")
 
 
+def savemap(dtype=jnp.bfloat16):
+    """Round-4 verdict item 7 experiment: does skipping the backward
+    logits+softmax recompute (saved bf16 map in HBM) beat the
+    recompute kernel?  Reports isolated f+b time for both, the grad
+    divergence introduced by the bf16-rounded map, and — if asked with
+    'savemap step' — the whole-step effect."""
+    from studiogan_tpu.ops.pallas.attention_kernel import (
+        fused_pooled_attention, fused_pooled_attention_savemap)
+    th, ph, g = _shapes(n=256)
+    th, ph, g = (jnp.asarray(a, dtype) for a in (th, ph, g))
+
+    def grad_of(f):
+        return jax.jit(jax.grad(lambda args: jnp.sum(
+            f(*args).astype(jnp.float32))))
+
+    for chunk in (512, 1024):
+        try:
+            f_re = grad_of(lambda *a: fused_pooled_attention(*a, chunk))
+            f_sm = grad_of(lambda *a: fused_pooled_attention_savemap(*a, chunk))
+            t_re = _time(f_re, (th, ph, g))
+            t_sm = _time(f_sm, (th, ph, g))
+            print(f"chunk={chunk}: recompute f+b {t_re*1e3:7.2f} ms | "
+                  f"savemap f+b {t_sm*1e3:7.2f} ms "
+                  f"({t_re/t_sm:.2f}x)", flush=True)
+        except Exception as e:  # noqa: BLE001 - report, keep sweeping
+            print(f"chunk={chunk}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+
+    # grad divergence of the bf16-map reuse (vs the recompute kernel)
+    g_re = grad_of(lambda *a: fused_pooled_attention(*a, 512))((th, ph, g))
+    g_sm = grad_of(lambda *a: fused_pooled_attention_savemap(*a, 512))(
+        (th, ph, g))
+    for a, b, name in zip(g_sm, g_re, ("theta", "phi", "g")):
+        e = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
+        s = float(jnp.abs(b.astype(jnp.float32)).max())
+        print(f"savemap d{name} max abs dev {e:.3e} (scale {s:.3f})",
+              flush=True)
+
+
+def savemap_step():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from profile_imagenet128 import _cfg, bench_cfg
+    for impl in ("pallas", "pallas_savemap"):
+        os.environ["STUDIOGAN_ATTN_IMPL"] = impl
+        bench_cfg(_cfg(256, 1, mpc=True),
+                  label=f"bs256 bf16 attn={impl}")
+
+
+def dkpad(dtype=jnp.bfloat16):
+    """Round-4 verdict item 7 experiment: the roofline blames the dk=24
+    logits contraction (19% MXU depth utilization).  If that depth were
+    the wall-clock culprit, padding dk 24 -> 128 (5.3x the FLOPs at
+    full depth) should cost ~the same wall time; if the padded run is
+    ~5x slower, depth under-utilization was never costing wall time and
+    the attention gap lives elsewhere (VPU softmax / grid overhead)."""
+    from studiogan_tpu.ops.pallas.attention_kernel import \
+        fused_pooled_attention
+
+    def grad_of(f):
+        return jax.jit(jax.grad(lambda args: jnp.sum(
+            f(*args).astype(jnp.float32))))
+
+    for dk in (24, 128):
+        rng = np.random.RandomState(0)
+        th = jnp.asarray(rng.randn(256, 4096, dk) * 0.3, dtype)
+        ph = jnp.asarray(rng.randn(256, 1024, dk) * 0.3, dtype)
+        g = jnp.asarray(rng.randn(256, 1024, 96) * 0.3, dtype)
+        fwd = jax.jit(lambda *a: fused_pooled_attention(*a, 512))
+        fb = grad_of(lambda *a: fused_pooled_attention(*a, 512))
+        print(f"dk={dk:3d}: fwd {_time(fwd, th, ph, g)*1e3:7.2f} ms | "
+              f"f+b {_time(fb, (th, ph, g))*1e3:7.2f} ms", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("devices:", jax.devices(), flush=True)
@@ -129,5 +202,11 @@ if __name__ == "__main__":
         parity(jnp.bfloat16)
     if mode in ("perf", "all"):
         perf()
+    if mode == "savemap":
+        savemap()
+        if "step" in sys.argv[2:]:
+            savemap_step()
+    if mode == "dkpad":
+        dkpad()
     if mode in ("step", "all"):
         step()

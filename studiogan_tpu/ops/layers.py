@@ -378,7 +378,7 @@ class SelfAttention(nn.Module):
         chunked = chunk > 0 and h * w > chunk and (h * w) % chunk == 0
         if impl == "einsum":
             chunked = False   # force the dense path, as documented
-        if impl == "pallas" and jax.device_count() > 1:
+        if impl.startswith("pallas") and jax.device_count() > 1:
             # pallas_call has no GSPMD partitioning rule: under a
             # multi-device mesh (dp/tp) the SPMD partitioner rejects it
             # ("side-effect HLO cannot have a replicated sharding") or
@@ -390,14 +390,20 @@ class SelfAttention(nn.Module):
                 "impl='chunked' (or 'auto', which picks the kernel only "
                 "single-chip).")
         use_pallas = chunked and (
-            impl == "pallas"
+            impl.startswith("pallas")
             or (impl == "auto" and jax.default_backend() != "cpu"
                 and jax.device_count() == 1
                 and (h * w) // 4 <= 2048))   # key-row VMEM budget
         if use_pallas:
-            from studiogan_tpu.ops.pallas.attention_kernel import (
-                fused_pooled_attention)
-            o = fused_pooled_attention(theta, phi, g, chunk)
+            if impl == "pallas_savemap":
+                # experimental: bwd reuses the fwd's saved bf16 map
+                # (scripts/profile_attention.py savemap for the trade)
+                from studiogan_tpu.ops.pallas.attention_kernel import (
+                    fused_pooled_attention_savemap as fused_attn)
+            else:
+                from studiogan_tpu.ops.pallas.attention_kernel import (
+                    fused_pooled_attention as fused_attn)
+            o = fused_attn(theta, phi, g, chunk)
         elif chunked:
             th_c = theta.reshape(n, (h * w) // chunk, chunk, c // 8)
             th_c = jnp.moveaxis(th_c, 1, 0)          # (chunks, n, chunk, c/8)

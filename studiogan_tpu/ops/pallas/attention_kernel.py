@@ -171,3 +171,128 @@ def _vjp_bwd(chunk, res, do):
 
 
 fused_pooled_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Experimental variant (round-4 verdict item 7): SAVE the attention map in
+# the forward pass (low-precision, HBM-resident) and skip the logits +
+# softmax recompute in the backward kernel.  Trades ~2.1 GB of HBM traffic
+# + residency (N=256, Q=4096, K=1024 bf16) for the recomputation's MXU/VPU
+# work.  The saved map is the bf16-rounded softmax, so dPhi/dTheta pick up
+# ~bf16-epsilon relative error vs the recompute path (measured in
+# scripts/profile_attention.py savemap).  Enabled via
+# SelfAttention(..) impl="pallas_savemap" / STUDIOGAN_ATTN_IMPL.
+# --------------------------------------------------------------------------
+
+def _fwd_kernel_savemap(th_ref, ph_ref, g_ref, o_ref, a_ref):
+    th = th_ref[0]
+    ph = ph_ref[0]
+    logits = jax.lax.dot_general(
+        th, ph, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    a = _softmax_f32(logits).astype(o_ref.dtype)
+    a_ref[0] = a
+    o_ref[0] = jnp.dot(a, g_ref[0],
+                       preferred_element_type=jnp.float32
+                       ).astype(o_ref.dtype)
+
+
+def _bwd_kernel_frommap(a_ref, ph_ref, th_ref, g_ref, do_ref,
+                        dth_ref, dph_ref, dg_ref):
+    q = pl.program_id(1)
+    a_lp = a_ref[0]                                  # (CHUNK, K) saved map
+    a32 = a_lp.astype(jnp.float32)
+    th = th_ref[0]
+    g = g_ref[0]
+    do = do_ref[0]
+
+    dg_c = jax.lax.dot_general(
+        a_lp, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (K, dv)
+    da = jax.lax.dot_general(
+        do, g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (CHUNK, K)
+    ds = a32 * (da - jnp.sum(da * a32, axis=-1, keepdims=True))
+    ds_lp = ds.astype(th.dtype)
+    dth = jnp.dot(ds_lp, ph_ref[0], preferred_element_type=jnp.float32)
+    dph_c = jax.lax.dot_general(
+        ds_lp, th, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (K, dk)
+
+    dth_ref[0] = dth.astype(dth_ref.dtype)
+
+    @pl.when(q == 0)
+    def _():
+        dph_ref[0] = jnp.zeros_like(dph_ref[0])
+        dg_ref[0] = jnp.zeros_like(dg_ref[0])
+
+    dph_ref[0] += dph_c
+    dg_ref[0] += dg_c
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _fwd_savemap(theta: Array, phi: Array, g: Array, chunk: int):
+    n, Q, dk = theta.shape
+    _, K, dv = g.shape
+    th_spec, ph_spec, g_spec, o_spec = _block_specs(Q // chunk, chunk,
+                                                    K, dk, dv)
+    a_spec = pl.BlockSpec((1, chunk, K), lambda n, q: (n, q, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fwd_kernel_savemap,
+        grid=(n, Q // chunk),
+        in_specs=[th_spec, ph_spec, g_spec],
+        out_specs=(o_spec, a_spec),
+        out_shape=(jax.ShapeDtypeStruct((n, Q, dv), theta.dtype),
+                   jax.ShapeDtypeStruct((n, Q, K), theta.dtype)),
+    )(theta, phi, g)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _bwd_frommap(a: Array, theta: Array, phi: Array, g: Array, do: Array,
+                 chunk: int):
+    n, Q, dk = theta.shape
+    _, K, dv = g.shape
+    th_spec, ph_spec, g_spec, o_spec = _block_specs(Q // chunk, chunk,
+                                                    K, dk, dv)
+    a_spec = pl.BlockSpec((1, chunk, K), lambda n, q: (n, q, 0),
+                          memory_space=pltpu.VMEM)
+    dth_spec = pl.BlockSpec((1, chunk, dk), lambda n, q: (n, q, 0),
+                            memory_space=pltpu.VMEM)
+    dph_spec = pl.BlockSpec((1, K, dk), lambda n, q: (n, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dg_spec = pl.BlockSpec((1, K, dv), lambda n, q: (n, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dth, dph, dg = pl.pallas_call(
+        _bwd_kernel_frommap,
+        grid=(n, Q // chunk),
+        in_specs=[a_spec, ph_spec, th_spec, g_spec, o_spec],
+        out_specs=(dth_spec, dph_spec, dg_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, Q, dk), theta.dtype),
+            jax.ShapeDtypeStruct((n, K, dk), jnp.float32),
+            jax.ShapeDtypeStruct((n, K, dv), jnp.float32),
+        ),
+    )(a, phi, theta, g, do)
+    return dth, dph.astype(phi.dtype), dg.astype(g.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_pooled_attention_savemap(theta: Array, phi: Array, g: Array,
+                                   chunk: int = 512) -> Array:
+    """fused_pooled_attention, but the bwd reuses the fwd's saved
+    (bf16/HBM) attention map instead of recomputing logits+softmax."""
+    return _fwd_savemap(theta, phi, g, chunk)[0]
+
+
+def _vjp_fwd_savemap(theta, phi, g, chunk):
+    o, a = _fwd_savemap(theta, phi, g, chunk)
+    return o, (a, theta, phi, g)
+
+
+def _vjp_bwd_savemap(chunk, res, do):
+    a, theta, phi, g = res
+    return _bwd_frommap(a, theta, phi, g, do.astype(theta.dtype), chunk)
+
+
+fused_pooled_attention_savemap.defvjp(_vjp_fwd_savemap, _vjp_bwd_savemap)

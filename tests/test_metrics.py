@@ -268,6 +268,9 @@ class TestEvaluatorEndToEnd:
         try:
             tagged = ev.evaluate(eng, state, ["fid"])
             assert "fid" not in tagged and "fid_RANDOM_BACKBONE" in tagged
+            # ...and the value is NaN, not a confident degenerate number
+            # (round-4 verdict item 6)
+            assert np.isnan(tagged["fid_RANDOM_BACKBONE"])
             os.environ["STUDIOGAN_ALLOW_RANDOM_BACKBONE"] = "1"
             scores = ev.evaluate(eng, state, ["fid", "is", "prdc"])
         finally:
