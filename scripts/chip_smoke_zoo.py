@@ -54,7 +54,10 @@ FAMILIES = {
     "StyleGAN2-ADA": "StyleGAN2-ADA.yaml",    # stylegan2 + ADA + lazy R1/PL
     "StyleGAN2-D2DCE-DiffAug": "StyleGAN2-D2DCE-DiffAug.yaml",  # flagship CIFAR workload
     "StyleGAN3-t-ADA": "StyleGAN3-t-ADA.yaml",  # stylegan3-t
-    "StyleGAN3-r-ADA": "StyleGAN3-r-ADA.yaml",  # stylegan3-r filtered synthesis
+    # stylegan3-r filtered synthesis: its f32 1024-ch 36x36 critically-
+    # sampled temps OOM HBM at bs64 (f32[64,36,36,1024] x ~20 live) —
+    # smoke the code path at bs16
+    "StyleGAN3-r-ADA": ("CIFAR10", "StyleGAN3-r-ADA.yaml", 16),
     # high-resolution paths (small forced batch; proves the 512/1024px
     # synthesis stacks + per-res bf16 policy compile and train on chip)
     "StyleGAN2-AFHQ512-ADA": ("AFHQ", "StyleGAN2-SPD-ADA.yaml", 8),
