@@ -110,29 +110,50 @@ def _factor_rank1(f: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
     return None
 
 
-def _upfirdn1d_band(f: np.ndarray, n_in: int, up: int, down: int,
-                    p0: int, p1: int) -> np.ndarray:
-    """Dense (n_out, n_in) matrix of the 1-D upfirdn: zero-insert by
-    ``up``, pad (p0, p1) (negative = crop), cross-correlate with ``f``
-    (caller pre-flips for convolution), stride by ``down``."""
+def _upfirdn1d_band_coo(f: np.ndarray, n_in: int, up: int, down: int,
+                        p0: int, p1: int):
+    """COO triplets (rows, cols, vals) + n_out of the 1-D upfirdn band
+    operator: zero-insert by ``up``, pad (p0, p1) (negative = crop),
+    cross-correlate with ``f`` (caller pre-flips for convolution),
+    stride by ``down``."""
     taps = len(f)
     n_up = n_in * up
     n_pad = p0 + n_up + p1
     n_out = max((n_pad - taps) // down + 1, 0)
-    m = np.zeros((n_out, n_in), np.float32)
+    rows, cols, vals = [], [], []
     for o in range(n_out):
         base = o * down - p0
         for k in range(taps):
             j = base + k
             if 0 <= j < n_up and j % up == 0:
-                m[o, j // up] += f[k]
+                rows.append(o)
+                cols.append(j // up)
+                vals.append(f[k])
+    return (np.asarray(rows, np.int32), np.asarray(cols, np.int32),
+            np.asarray(vals, np.float32), n_out)
+
+
+def _upfirdn1d_band(f: np.ndarray, n_in: int, up: int, down: int,
+                    p0: int, p1: int) -> np.ndarray:
+    """Dense (n_out, n_in) matrix of the 1-D upfirdn (numpy)."""
+    rows, cols, vals, n_out = _upfirdn1d_band_coo(f, n_in, up, down, p0, p1)
+    m = np.zeros((n_out, n_in), np.float32)
+    np.add.at(m, (rows, cols), vals)
     return m
 
 
 def _matmul_pass(x: Array, f1d: np.ndarray, axis: int, up: int, down: int,
                  p0: int, p1: int) -> Array:
     n_in = x.shape[axis]
-    m = jnp.asarray(_upfirdn1d_band(f1d, n_in, up, down, p0, p1), x.dtype)
+    rows, cols, vals, n_out = _upfirdn1d_band_coo(f1d, n_in, up, down, p0, p1)
+    if n_out * n_in > 4_000_000:
+        # large-spatial band (e.g. 512-1024px ADA filtering): embedding
+        # a multi-MB dense constant bloats the executable — materialize
+        # the band on device from the tiny COO triplets instead
+        m = jnp.zeros((n_out, n_in), x.dtype).at[rows, cols].add(
+            vals.astype(x.dtype))
+    else:
+        m = jnp.asarray(_upfirdn1d_band(f1d, n_in, up, down, p0, p1), x.dtype)
     if axis == 1:    # height
         return jnp.einsum("oh,nhwc->nowc", m, x,
                           preferred_element_type=jnp.float32).astype(x.dtype)
@@ -153,8 +174,18 @@ def upfirdn2d(x: Array, f: Array | np.ndarray | None, up=1, down=1, padding=0,
     pad = _parse_padding(padding)
 
     # -- MXU band-matrix path: needs a static (numpy) separable filter --
-    if _IMPL == "matmul" and isinstance(f, np.ndarray) \
-            and max(x.shape[1] * upy, x.shape[2] * upx) <= _MATMUL_MAX_DIM:
+    # "auto" also routes LARGE-SPATIAL, TINY-CHANNEL calls here (the ADA
+    # pipeline's image-space wavelet filtering at 512-1024px): for those
+    # shapes XLA lays the grouped-conv output out with (channel, batch)
+    # minor tiled T(4,128) — batch pads to 128 lanes and the (N, 2H+pad,
+    # 2W+pad, 3) intermediate inflates ~21x (19.3 GB at 512px, observed
+    # OOM).  The band-matmul formulation keeps standard matmul layouts.
+    # Synthesis-network calls (C >= tens of channels) stay depthwise.
+    spatial = max(x.shape[1] * upy, x.shape[2] * upx)
+    use_matmul = isinstance(f, np.ndarray) and (
+        (_IMPL == "matmul" and spatial <= _MATMUL_MAX_DIM)
+        or (_IMPL != "depthwise" and x.shape[-1] <= 4 and spatial >= 256))
+    if use_matmul:
         fnp = np.asarray(f, np.float32)
         if fnp.ndim == 1:
             g = float(gain) ** 0.5

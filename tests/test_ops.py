@@ -180,6 +180,45 @@ class TestUpfirdn2d:
         assert y1.shape == y2.shape
         assert jnp.allclose(y1, y2, atol=1e-4)
 
+    def test_large_spatial_tiny_channel_autoroutes_to_matmul(self):
+        """512px+ ADA-style image filtering (C=3) must take the band-
+        matmul path: XLA's grouped-conv layout pads (channel, batch) to
+        a (4,128) tile there — the (N, 2H+pad, 2W+pad, 3) intermediate
+        inflates ~21x and OOMs HBM at 512px (round-5 chip observation).
+        The two formulations must agree exactly; this also covers the
+        device-scatter band build (n_out*n_in > 4M skips the dense
+        numpy constant)."""
+        import importlib
+        mod = importlib.import_module("studiogan_tpu.ops.upfirdn2d")
+
+        f = setup_filter([1.0, 3.0, 3.0, 1.0], separable=True)
+        # heuristic trigger: C=3, spatial*up >= 256 (W kept tiny so the
+        # CPU einsum stays cheap); n_out*n_in = 536*260 < 4M (dense)
+        x = jax.random.normal(rng(), (2, 260, 12, 3))
+        y_auto = upfirdn2d(x, f, up=(1, 2), down=1, padding=2)
+        orig = mod._IMPL
+        try:
+            mod._IMPL = "depthwise"
+            y_ref = upfirdn2d(x, f, up=(1, 2), down=1, padding=2)
+        finally:
+            mod._IMPL = orig
+        assert y_auto.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_ref),
+                                   atol=1e-4)
+
+        # device-scatter branch: H=2100, up=2 -> band ~ (4202, 2100) =
+        # 8.8M entries > 4M
+        x2 = jax.random.normal(rng(), (1, 2100, 4, 3))
+        y2_auto = upfirdn2d(x2, f, up=(1, 2), down=1, padding=2)
+        orig = mod._IMPL
+        try:
+            mod._IMPL = "depthwise"
+            y2_ref = upfirdn2d(x2, f, up=(1, 2), down=1, padding=2)
+        finally:
+            mod._IMPL = orig
+        np.testing.assert_allclose(np.asarray(y2_auto), np.asarray(y2_ref),
+                                   atol=1e-4)
+
     def test_scipy_equivalence_1d_chain(self):
         """Cross-check against scipy.signal.upfirdn along one axis."""
         from scipy.signal import upfirdn as sp_upfirdn
