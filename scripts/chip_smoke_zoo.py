@@ -78,6 +78,11 @@ def run_one(name: str, cfg_rel, n_steps: int, out_root: str):
     if batch_force is not None:
         cfg["OPTIMIZATION"]["batch_size"] = batch_force
         cfg["OPTIMIZATION"]["acml_steps"] = 1
+        if cfg.get("MODEL", {}).get("backbone", "").startswith("stylegan"):
+            # the mbstd group must divide the (shrunken) per-device batch
+            sg = cfg.setdefault("STYLEGAN", {})
+            sg["d_epilogue_mbstd_group_size"] = min(
+                int(sg.get("d_epilogue_mbstd_group_size", 32)), batch_force)
     run_dir = os.path.join(out_root, name)
     os.makedirs(run_dir, exist_ok=True)
     short_cfg = os.path.join(run_dir, "cfg.yaml")
