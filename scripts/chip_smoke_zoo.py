@@ -95,6 +95,12 @@ def run_one(name: str, cfg_rel, n_steps: int, out_root: str):
         "--save_freq", str(n_steps),  # exactly one final checkpoint
         "--seed", "11",
     ]
+    if batch_force is not None:
+        # high-res entries smoke the mixed-precision path too: -mpc turns
+        # on the per-resolution bf16 policy (stylegan num_fp16_res=4, the
+        # reference's fp16 analog) — without it the 512/1024px stacks run
+        # all-f32 and their activation temps alone exceed HBM
+        cmd.append("-mpc")
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # high-res synthesis stacks (512/1024px) compile much longer

@@ -95,6 +95,37 @@ def _grid_sample_bilinear(img: Array, grid: Array) -> Array:
     return top * (1 - wy)[..., None] + bot * wy[..., None]
 
 
+def _grid_sample_bilinear_folded(img: Array, grid_x: Array, grid_y: Array,
+                                 c: int) -> Array:
+    """Same sampling as :func:`_grid_sample_bilinear` on a channels-folded
+    (N*C, H, W) image, with the normalized grid given as separate
+    (N, Ho, Wo) x/y planes broadcast over each sample's C channels."""
+    nc, h, w = img.shape
+    gx = ((grid_x + 1) * w - 1) / 2
+    gy = ((grid_y + 1) * h - 1) / 2
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = jnp.repeat(gx - x0, c, axis=0)                       # (N*C, Ho, Wo)
+    wy = jnp.repeat(gy - y0, c, axis=0)
+    x0 = jnp.repeat(x0, c, axis=0)
+    y0 = jnp.repeat(y0, c, axis=0)
+
+    def gather(yy, xx):
+        inside = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        vals = jax.vmap(lambda im, ys, xs: im[ys, xs])(img, yc, xc)
+        return vals * inside
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
 class AdaAugment:
     """Callable: (rng, images NHWC in [-1,1], p) -> images."""
 
@@ -280,18 +311,27 @@ class AdaAugment:
 
     def _execute_geom(self, images: Array, G_inv: Array) -> Array:
         """Pad-reflect, 2x upsample, warp, 2x downsample + crop
-        (reference ada_aug.py:268-296), with a static worst-case margin."""
+        (reference ada_aug.py:268-296), with a static worst-case margin.
+
+        TPU layout note: the whole section runs in a channels-folded
+        (N*C, H, W) 3-D layout so the lane-tiled minormost dim is W.
+        In NHWC the C=3 canvas tensors land on a (sublane, lane) tile
+        and pad 3 -> 128 lanes: at 512px the (N, 3068, 3068, 3) f32
+        upsampled canvas inflates ~21x to 19.3 GB (observed HBM OOM at
+        AFHQ-512 bs8); folded it is ~900 MB.  The math per channel is
+        identical — the warp grid is sample-wise and broadcast over C.
+        """
         n, h, w, c = images.shape
         hz_pad = self.Hz_geom.shape[0] // 4
         # static margin = the reference's clamp bound (width-1 / height-1)
         mx = w - 1
         my = h - 1
-        images = jnp.pad(images, ((0, 0), (my, my), (mx, mx), (0, 0)),
-                         mode="reflect")
+        x = images.transpose(0, 3, 1, 2).reshape(n * c, h, w)
+        x = jnp.pad(x, ((0, 0), (my, my), (mx, mx)), mode="reflect")
         # margin symmetric -> no origin shift needed (reference adjusts by
         # (mx0-mx1)/2 which is 0 here)
 
-        images = upsample2d(images, self.Hz_geom, up=2)
+        x = upsample2d(x, self.Hz_geom, up=2)
         s2 = _scale2d(jnp.full((n,), 2.0), jnp.full((n,), 2.0))
         s2_inv = _scale2d(jnp.full((n,), 0.5), jnp.full((n,), 0.5))
         t_half = _translate2d(jnp.full((n,), -0.5), jnp.full((n,), -0.5))
@@ -299,28 +339,30 @@ class AdaAugment:
         G = s2 @ G_inv @ s2_inv
         G = t_half @ G @ t_half_inv
 
-        in_h, in_w = images.shape[1], images.shape[2]
+        in_h, in_w = x.shape[1], x.shape[2]
         out_h, out_w = (h + hz_pad * 2) * 2, (w + hz_pad * 2) * 2
         sa = _scale2d(jnp.full((n,), 2 / in_w), jnp.full((n,), 2 / in_h))
         sb = _scale2d(jnp.full((n,), out_w / 2), jnp.full((n,), out_h / 2))
         G = sa @ G @ sb
 
-        # affine_grid(align_corners=False): normalized output coords
+        # affine_grid(align_corners=False): normalized output coords.
+        # The x/y planes stay SEPARATE (N, Ho, Wo) arrays — a stacked
+        # (..., 2) grid would itself lane-pad 2 -> 128.
         ux = ((2 * jnp.arange(out_w) + 1) / out_w - 1)
         uy = ((2 * jnp.arange(out_h) + 1) / out_h - 1)
         gx = jnp.broadcast_to(ux[None, :], (out_h, out_w))
         gy = jnp.broadcast_to(uy[:, None], (out_h, out_w))
-        ones = jnp.ones_like(gx)
-        base = jnp.stack([gx, gy, ones], axis=-1)                    # (Ho,Wo,3)
-        grid = jnp.einsum("nij,hwj->nhwi", G[:, :2, :], base)        # (N,Ho,Wo,2)
-        images = _grid_sample_bilinear(images, grid)
+        b = lambda v: v[:, None, None]                                # noqa: E731
+        grid_x = b(G[:, 0, 0]) * gx + b(G[:, 0, 1]) * gy + b(G[:, 0, 2])
+        grid_y = b(G[:, 1, 0]) * gx + b(G[:, 1, 1]) * gy + b(G[:, 1, 2])
+        x = _grid_sample_bilinear_folded(x, grid_x, grid_y, c)
 
         # the warp's output canvas is already the final size (+ filter
         # padding); the FIR downsample's negative padding crops it off
-        images = downsample2d(images, self.Hz_geom, down=2,
-                              padding=-hz_pad * 2, flip_filter=True)
-        assert images.shape[1:3] == (h, w), images.shape
-        return images
+        x = downsample2d(x, self.Hz_geom, down=2,
+                         padding=-hz_pad * 2, flip_filter=True)
+        assert x.shape[1:] == (h, w), x.shape
+        return x.reshape(n, c, h, w).transpose(0, 2, 3, 1)
 
     def _imgfilter(self, rng: Array, images: Array, p) -> Array:
         n, h, w, c = images.shape

@@ -154,10 +154,11 @@ def _matmul_pass(x: Array, f1d: np.ndarray, axis: int, up: int, down: int,
             vals.astype(x.dtype))
     else:
         m = jnp.asarray(_upfirdn1d_band(f1d, n_in, up, down, p0, p1), x.dtype)
-    if axis == 1:    # height
-        return jnp.einsum("oh,nhwc->nowc", m, x,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
-    return jnp.einsum("ow,nhwc->nhoc", m, x,
+    if x.ndim == 3:  # channels-folded (N*C, H, W) layout (ADA geometry)
+        eq = "oh,nhw->now" if axis == 1 else "ow,nhw->nho"
+    else:
+        eq = "oh,nhwc->nowc" if axis == 1 else "ow,nhwc->nhoc"
+    return jnp.einsum(eq, m, x,
                       preferred_element_type=jnp.float32).astype(x.dtype)
 
 
@@ -166,7 +167,15 @@ def upfirdn2d(x: Array, f: Array | np.ndarray | None, up=1, down=1, padding=0,
     """NHWC upfirdn2d (reference upfirdn2d.py:118-213).
 
     f: (kh, kw) filter, (taps,) separable filter, or None (identity).
+
+    x may also be 3-D (N, H, W) — the channels-folded layout the ADA
+    geometric pipeline uses so the lane-tiled minormost dim is W (an
+    NHWC canvas with C=3 pads the channel dim to 128 lanes, inflating
+    512-1024px intermediates ~21-42x).  The 3-D path prefers the
+    band-matmul lowering; non-separable/traced filters fall back to a
+    (N, H, W, 1) depthwise pass.
     """
+    squeeze3d = x.ndim == 3
     if f is None:
         f = np.ones((1, 1), dtype=np.float32)
     upx, upy = _parse_scaling(up)
@@ -182,9 +191,11 @@ def upfirdn2d(x: Array, f: Array | np.ndarray | None, up=1, down=1, padding=0,
     # OOM).  The band-matmul formulation keeps standard matmul layouts.
     # Synthesis-network calls (C >= tens of channels) stay depthwise.
     spatial = max(x.shape[1] * upy, x.shape[2] * upx)
+    channels = 1 if squeeze3d else x.shape[-1]
     use_matmul = isinstance(f, np.ndarray) and (
-        (_IMPL == "matmul" and spatial <= _MATMUL_MAX_DIM)
-        or (_IMPL != "depthwise" and x.shape[-1] <= 4 and spatial >= 256))
+        squeeze3d
+        or (_IMPL == "matmul" and spatial <= _MATMUL_MAX_DIM)
+        or (_IMPL != "depthwise" and channels <= 4 and spatial >= 256))
     if use_matmul:
         fnp = np.asarray(f, np.float32)
         if fnp.ndim == 1:
@@ -203,6 +214,8 @@ def upfirdn2d(x: Array, f: Array | np.ndarray | None, up=1, down=1, padding=0,
             x = _matmul_pass(x, fx, 2, upx, downx, pad[0], pad[1])
             return x
 
+    if squeeze3d:  # non-separable/traced filter: single-channel depthwise
+        x = x[..., None]
     f = jnp.asarray(f, dtype=jnp.float32)
     assert f.ndim in (1, 2)
     if not flip_filter:  # convolution: flip; lax conv is cross-correlation
@@ -216,8 +229,9 @@ def upfirdn2d(x: Array, f: Array | np.ndarray | None, up=1, down=1, padding=0,
         # horizontal pass
         x = _depthwise(x, (f * g)[None, :], (upx, 1), (downx, 1),
                        (pad[0], pad[1], 0, 0))
-        return x
-    return _depthwise(x, f * float(gain), (upx, upy), (downx, downy), pad)
+    else:
+        x = _depthwise(x, f * float(gain), (upx, upy), (downx, downy), pad)
+    return x[..., 0] if squeeze3d else x
 
 
 def filter2d(x: Array, f, padding=0, flip_filter=False, gain=1.0) -> Array:

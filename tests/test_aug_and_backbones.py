@@ -47,6 +47,31 @@ class TestADA:
         # up/warp/down round-trip leaves tiny filter residue
         assert float(jnp.abs(y - x).max()) < 0.05
 
+    def test_folded_geom_layout_matches_nhwc(self):
+        # the geometric section runs channels-folded (N*C, H, W) on TPU
+        # (NHWC C=3 canvases lane-pad 3->128 and OOM at 512px+); the
+        # folded helpers must agree with the NHWC ones to float noise
+        from studiogan_tpu.aug.ada_aug import (_grid_sample_bilinear,
+                                               _grid_sample_bilinear_folded)
+        from studiogan_tpu.ops.upfirdn2d import setup_filter, upsample2d
+        r = np.random.RandomState(3)
+        img = r.randn(2, 17, 13, 3).astype(np.float32)
+        img3 = img.transpose(0, 3, 1, 2).reshape(6, 17, 13)
+        f = np.asarray(setup_filter([1, 3, 3, 1]))
+        y4 = upsample2d(jnp.asarray(img), f, up=2)
+        y3 = upsample2d(jnp.asarray(img3), f, up=2)
+        np.testing.assert_allclose(
+            np.asarray(y3).reshape(2, 3, *y3.shape[1:]).transpose(0, 2, 3, 1),
+            np.asarray(y4), atol=1e-5)
+        grid = (r.rand(2, 5, 6, 2).astype(np.float32) * 2.4 - 1.2)
+        a = _grid_sample_bilinear(jnp.asarray(img), jnp.asarray(grid))
+        b = _grid_sample_bilinear_folded(
+            jnp.asarray(img3), jnp.asarray(grid[..., 0]),
+            jnp.asarray(grid[..., 1]), 3)
+        np.testing.assert_allclose(
+            np.asarray(b).reshape(2, 3, 5, 6).transpose(0, 2, 3, 1),
+            np.asarray(a), atol=1e-6)
+
     def test_p_one_transforms_and_grads(self):
         from studiogan_tpu.aug.ada_aug import AdaAugment
         aug = AdaAugment.from_preset("bgcfnc")
