@@ -70,13 +70,19 @@ class FullyConnectedLayer(nn.Module):
 
 
 def _conv2d(x: Array, w_oihw: Array, stride: int = 1, padding: int = 0) -> Array:
-    """NHWC conv with an OIHW weight (stylegan's native weight layout)."""
+    """NHWC conv with an OIHW weight (stylegan's native weight layout).
+
+    preferred_element_type is only passed for f32 operands: for bf16 the
+    MXU accumulates in f32 regardless and we round to x.dtype right
+    after, while conv's TRANSPOSE rule under preferred=f32 builds
+    conv(f32 cotangent, bf16 kernel) — mixed dtypes, a TypeError."""
     kernel = jnp.transpose(w_oihw, (2, 3, 1, 0))  # -> HWIO
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (stride, stride),
         ((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        preferred_element_type=pet).astype(x.dtype)
 
 
 def conv2d_resample(x: Array, w_oihw: Array, f, up: int = 1, down: int = 1,
@@ -117,7 +123,8 @@ def _grouped_modconv(x: Array, w_noikk: Array, f, up: int, down: int,
         ((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=n,
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        preferred_element_type=(jnp.float32 if xg.dtype == jnp.float32
+                                else None)).astype(x.dtype)
     y = y.reshape(y.shape[1], y.shape[2], n, out_c)
     return jnp.transpose(y, (2, 0, 1, 3))
 

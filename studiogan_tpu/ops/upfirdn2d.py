@@ -86,6 +86,10 @@ def _depthwise(x: Array, f: Array, up: tuple[int, int], down: tuple[int, int],
     upx, upy = up
     px0, px1, py0, py1 = pad
     kernel = jnp.tile(f[:, :, None, None].astype(x.dtype), (1, 1, 1, c))
+    # preferred_element_type only for f32 operands: conv's transpose rule
+    # under preferred=f32 with bf16 operands builds a mixed-dtype conv
+    # (f32 cotangent x bf16 kernel) and raises; bf16 MXU passes already
+    # accumulate in f32 and we round to x.dtype immediately anyway.
     return jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=down[::-1],                       # (down_y, down_x)
@@ -93,7 +97,8 @@ def _depthwise(x: Array, f: Array, up: tuple[int, int], down: tuple[int, int],
         lhs_dilation=(upy, upx),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
+                                else None),
     ).astype(x.dtype)
 
 

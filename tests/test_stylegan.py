@@ -162,6 +162,26 @@ class TestStyleGANPieces:
         assert y.shape == (4, 8, 8, 32)
         assert 0.5 < float(y.std()) < 2.0  # demodulated scale ~1
 
+    def test_bf16_grad_through_resample_convs(self):
+        """Regression: conv's transpose rule under preferred_element_type=
+        f32 with bf16 operands builds a mixed-dtype conv and raises
+        (hit by -mpc + ADA smoke configs, r5).  Grad w.r.t. a bf16 input
+        must flow through conv2d_resample and the depthwise FIR path."""
+        from studiogan_tpu.ops.upfirdn2d import setup_filter, upsample2d
+        f = setup_filter(np.asarray([1, 3, 3, 1], np.float32))
+        w = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 3, 3))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4),
+                              jnp.bfloat16)
+
+        def loss(xi):
+            y = stylegan2.conv2d_resample(xi, w, f, up=2, padding=1)
+            y = upsample2d(y, f, up=2)  # exercises _depthwise / band path
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(x)
+        assert g.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+
     def test_fully_connected_lr_multiplier(self):
         fc = stylegan2.FullyConnectedLayer(8, lr_multiplier=0.01)
         v = fc.init(jax.random.PRNGKey(0), jnp.ones((2, 4)))
