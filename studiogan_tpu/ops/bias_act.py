@@ -57,7 +57,13 @@ def bias_act(x: Array, b: Array | None = None, dim: int = -1, act: str = "linear
         assert b.ndim == 1 and b.shape[0] == x.shape[dim]
         shape = [1] * x.ndim
         shape[dim] = -1
-        x = x + b.reshape(shape)
+        # compute in x's dtype (reference bias_act.cu computes in x's
+        # type): an f32 bias PARAM must not promote a bf16 activation —
+        # an uncast bias here silently disabled the per-res bf16 policy
+        # for every Conv2dLayer (and doubled 512/1024px D activation
+        # memory: the FFHQ-1024 bs4 smoke OOM'd at 23.6G/15.75G on f32
+        # temps that should have been bf16)
+        x = x + b.reshape(shape).astype(x.dtype)
     x = spec.func(x, alpha=alpha)
     if gain != 1.0:
         x = x * gain
